@@ -32,6 +32,7 @@ class Camera(NamedTuple):
     focal_x: jax.Array      # scalar
     focal_y: jax.Array      # scalar
     bg: jax.Array           # [3] background color (reference always black)
+    intrinsics: jax.Array   # [3, 3] pinhole K
     near: float = 0.01
     far: float = 100.0
     scale_modifier: float = 1.0
@@ -72,6 +73,7 @@ def setup_camera(w: int, h: int, k, w2c, near: float = 0.01, far: float = 100.0)
         focal_x=fx,
         focal_y=fy,
         bg=jnp.zeros(3, dtype=jnp.float32),
+        intrinsics=k,
         near=near,
         far=far,
     )

@@ -1,0 +1,54 @@
+"""SSIM with an 11x11 sigma=1.5 Gaussian window (utils/slam_external.py:54-97).
+
+Depthwise convolution via lax.conv_general_dilated with
+feature_group_count=C, zero ('SAME') padding — identical to the torch
+conv2d(groups=channel, padding=window//2) the reference uses.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.lru_cache(maxsize=8)
+def _window(window_size: int, sigma: float) -> np.ndarray:
+    g = np.exp(-((np.arange(window_size) - window_size // 2) ** 2) / (2 * sigma**2))
+    g = g / g.sum()
+    w2d = np.outer(g, g)
+    return w2d.astype(np.float32)
+
+
+def _filter(img: jax.Array, win: jax.Array) -> jax.Array:
+    """Depthwise 2D filter.  img: [C, H, W]."""
+    c = img.shape[0]
+    lhs = img[None]  # [1, C, H, W]
+    rhs = jnp.broadcast_to(win[None, None], (c, 1, win.shape[0], win.shape[1]))
+    return jax.lax.conv_general_dilated(
+        lhs, rhs, (1, 1), "SAME", feature_group_count=c,
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )[0]
+
+
+def calc_ssim(img1: jax.Array, img2: jax.Array, window_size: int = 11) -> jax.Array:
+    """Mean SSIM between two [C, H, W] images."""
+    win = jnp.asarray(_window(window_size, 1.5))
+    mu1 = _filter(img1, win)
+    mu2 = _filter(img2, win)
+    mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
+    sigma1_sq = _filter(img1 * img1, win) - mu1_sq
+    sigma2_sq = _filter(img2 * img2, win) - mu2_sq
+    sigma12 = _filter(img1 * img2, win) - mu1_mu2
+    c1, c2 = 0.01**2, 0.03**2
+    ssim_map = ((2 * mu1_mu2 + c1) * (2 * sigma12 + c2)) / (
+        (mu1_sq + mu2_sq + c1) * (sigma1_sq + sigma2_sq + c2)
+    )
+    return jnp.mean(ssim_map)
+
+
+def calc_psnr(img1: jax.Array, img2: jax.Array) -> jax.Array:
+    """Per-image PSNR (utils/slam_external.py:49-51), scalar for [C,H,W]."""
+    mse = jnp.mean((img1 - img2) ** 2)
+    return 20 * jnp.log10(1.0 / jnp.sqrt(mse))

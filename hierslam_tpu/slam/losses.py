@@ -1,0 +1,186 @@
+"""Tracking / mapping losses.
+
+Numerical contract follows scripts/hierslam.py exactly:
+
+* tracking (get_loss_semantic, :715-853): silhouette-gated masks, **sum**
+  losses — depth ``|d-d̂|`` summed over mask (:784), RGB summed over the
+  3-tiled mask (:794); no semantic term while tracking (:802).
+* mapping (get_loss_semantic_mlp, :856-1107): depth masked **mean** (:927),
+  RGB ``0.8 L1 + 0.2 (1-SSIM)`` unmasked (:939), semantic = per-tree-level
+  cross-entropy (weight 1.0) plus, from mapping iter >= 14, leaf CE through
+  the 1x1-conv decoder with weight 5.0 (:959-983).
+* outlier-depth masking (ScanNet): error < 10 x median (:770-772) — the
+  median is torch's lower-median over the full masked-product image.
+* the presence mask threshold compares the rendered final opacity
+  (1 - final transmittance) against sil_thres (:765).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from hierslam_tpu.core import transforms
+from hierslam_tpu.ops.rasterize import RasterConfig, RenderOutput, rasterize
+from hierslam_tpu.ops.ssim import calc_ssim
+
+Params = Dict[str, jax.Array]
+
+
+@dataclass(frozen=True)
+class LossConfig:
+    use_sil_for_loss: bool = True
+    sil_thres: float = 0.99
+    use_l1: bool = True
+    ignore_outlier_depth_loss: bool = False
+    w_im: float = 0.5
+    w_depth: float = 1.0
+    w_sem: float = 0.0
+    sem_levels: Tuple[int, ...] = ()   # per-level class counts (tree: L entries; flat: 1)
+    num_leaf: int = 0                  # leaf class count (MLP decoder output)
+    use_mlp: bool = False
+    mlp_gate_iter: int = 14
+    weight_sem_level: float = 1.0
+    weight_sem_leaf: float = 5.0
+
+
+def lower_median(x: jax.Array) -> jax.Array:
+    """torch.median semantics (lower median) over all elements."""
+    return jnp.quantile(x.reshape(-1), 0.5, method="lower")
+
+
+def cross_entropy_mean(logits: jax.Array, labels: jax.Array) -> jax.Array:
+    """Mean cross-entropy, logits [P, C], int labels [P]
+    (torch.nn.CrossEntropyLoss default reduction)."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    picked = jnp.take_along_axis(logp, labels[:, None].astype(jnp.int32), axis=-1)[:, 0]
+    return -jnp.mean(picked)
+
+
+def mlp_apply(mlp: Params, sem_img: jax.Array) -> jax.Array:
+    """1x1 conv decoder: [S, H, W] -> [L, H, W]
+    (torch.nn.Conv2d(num_semantic, num_leaf, 1), scripts/hierslam.py:1756)."""
+    return jnp.einsum("shw,ls->lhw", sem_img, mlp["w"]) + mlp["b"][:, None, None]
+
+
+def mlp_init(num_semantic: int, num_leaf: int, key: jax.Array) -> Params:
+    """torch Conv2d default init: U(-1/sqrt(fan_in), 1/sqrt(fan_in))."""
+    bound = 1.0 / jnp.sqrt(num_semantic)
+    kw, kb = jax.random.split(key)
+    return {
+        "w": jax.random.uniform(kw, (num_leaf, num_semantic), minval=-bound, maxval=bound),
+        "b": jax.random.uniform(kb, (num_leaf,), minval=-bound, maxval=bound),
+    }
+
+
+def render_gaussians(
+    params: Params,
+    active: jax.Array,
+    cam_quat: jax.Array,
+    cam_trans: jax.Array,
+    camera,
+    raster_cfg: RasterConfig,
+    *,
+    with_semantic: bool,
+    gaussians_grad: bool,
+    camera_grad: bool,
+) -> RenderOutput:
+    """transform_to_frame + activation packing + rasterize.
+
+    Activations follow transformed_params2rendervar_semantic
+    (utils/slam_helpers.py:195-219): sigmoid opacity, exp scale (isotropic
+    tiled x3), normalized quats, raw semantic logits."""
+    means_cam, rots = transforms.transform_to_frame(
+        params["means3D"],
+        params["unnorm_rotations"],
+        cam_quat,
+        cam_trans,
+        gaussians_grad=gaussians_grad,
+        camera_grad=camera_grad,
+        transform_rots=params["log_scales"].shape[1] != 1,
+    )
+    gp = params if gaussians_grad else {
+        k: jax.lax.stop_gradient(v) for k, v in params.items()
+    }
+    sem = gp.get("semantic") if with_semantic else None
+    return rasterize(
+        means_cam,
+        gp["rgb_colors"],
+        jax.nn.sigmoid(gp["logit_opacities"][:, 0]),
+        jnp.exp(gp["log_scales"]),
+        transforms.normalize(rots),
+        camera,
+        semantics=sem,
+        active=active,
+        config=raster_cfg,
+    )
+
+
+def _valid_mask(out: RenderOutput, gt_depth: jax.Array, cfg: LossConfig, tracking: bool):
+    depth = out.depth
+    nan_mask = ~jnp.isnan(depth)
+    if cfg.ignore_outlier_depth_loss:
+        depth_error = jnp.abs(gt_depth - depth) * (gt_depth > 0)
+        mask = (depth_error < 10 * lower_median(depth_error)) & (gt_depth > 0)
+    else:
+        mask = gt_depth > 0
+    mask = mask & nan_mask
+    if tracking and cfg.use_sil_for_loss:
+        mask = mask & (out.final_opacity > cfg.sil_thres)
+    return jax.lax.stop_gradient(mask)
+
+
+def tracking_loss(
+    out: RenderOutput, im_gt: jax.Array, depth_gt: jax.Array, cfg: LossConfig
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    mask = _valid_mask(out, depth_gt, cfg, tracking=True)
+    losses = {}
+    losses["depth"] = jnp.sum(jnp.abs(depth_gt - out.depth) * mask)
+    if cfg.use_sil_for_loss or cfg.ignore_outlier_depth_loss:
+        losses["im"] = jnp.sum(jnp.abs(im_gt - out.im) * mask[None])
+    else:
+        losses["im"] = jnp.sum(jnp.abs(im_gt - out.im))
+    loss = cfg.w_im * losses["im"] + cfg.w_depth * losses["depth"]
+    losses["loss"] = loss
+    return loss, losses
+
+
+def mapping_loss(
+    out: RenderOutput,
+    im_gt: jax.Array,
+    depth_gt: jax.Array,
+    labels_gt: Optional[jax.Array],   # [L(+1), H, W] int32 or None
+    mlp: Optional[Params],
+    iter_idx,
+    cfg: LossConfig,
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    mask = _valid_mask(out, depth_gt, cfg, tracking=False)
+    losses = {}
+    cnt = jnp.maximum(jnp.sum(mask), 1)
+    losses["depth"] = jnp.sum(jnp.abs(depth_gt - out.depth) * mask) / cnt
+    losses["im"] = 0.8 * jnp.mean(jnp.abs(out.im - im_gt)) + 0.2 * (
+        1.0 - calc_ssim(out.im, im_gt)
+    )
+    loss = cfg.w_im * losses["im"] + cfg.w_depth * losses["depth"]
+
+    if cfg.sem_levels and labels_gt is not None:
+        sem_img = out.semantic  # [S_total, H, W]
+        level_loss = 0.0
+        off = 0
+        for i, n_cls in enumerate(cfg.sem_levels):
+            logits = sem_img[off : off + n_cls].reshape(n_cls, -1).T
+            level_loss = level_loss + cross_entropy_mean(logits, labels_gt[i].reshape(-1))
+            off += n_cls
+        sem_loss = cfg.weight_sem_level * level_loss
+        if cfg.use_mlp and mlp is not None:
+            leaf_logits = mlp_apply(mlp, sem_img).reshape(cfg.num_leaf, -1).T
+            leaf_ce = cross_entropy_mean(leaf_logits, labels_gt[-1].reshape(-1))
+            gate = (jnp.asarray(iter_idx) >= cfg.mlp_gate_iter).astype(jnp.float32)
+            sem_loss = sem_loss + cfg.weight_sem_leaf * gate * leaf_ce
+        losses["sem"] = sem_loss
+        loss = loss + cfg.w_sem * sem_loss
+
+    losses["loss"] = loss
+    return loss, losses

@@ -1,0 +1,221 @@
+"""Densification + keyframe-window mapping as jitted scans.
+
+Mirrors the mapping phase of scripts/hierslam.py:1929-2104:
+
+* ``make_densifier`` — silhouette/depth-error non-presence mask
+  (add_new_gaussians_semantic_newrender, :1307-1352) back-projected into
+  free capacity slots (static shapes; overflow reported);
+* ``make_mapper`` — the 30-60 iteration window optimization: random frame
+  per iteration (indices precomputed host-side with the run seed, matching
+  np.random.randint at :1989), mapping losses, mid-phase opacity/scale
+  pruning with Adam-moment surgery (prune_gaussians,
+  utils/slam_external.py:167-188), fresh eps=1e-15 Adam per phase
+  (scripts/hierslam.py:417,1979), persistent lr=5e-4 Adam for the 1x1-conv
+  semantic decoder (:1757).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from hierslam_tpu.core import gaussians as G
+from hierslam_tpu.core import transforms
+from hierslam_tpu.ops.rasterize import RasterConfig
+from hierslam_tpu.slam import optim
+from hierslam_tpu.slam.losses import (
+    LossConfig,
+    lower_median,
+    mapping_loss,
+    render_gaussians,
+)
+
+Params = Dict[str, jax.Array]
+
+
+@dataclass(frozen=True)
+class PruneConfig:
+    """pruning_dict schema (configs/replica/hierslam_semantic_run.py:119-128)."""
+
+    start_after: int = 0
+    remove_big_after: int = 0
+    stop_after: int = 20
+    prune_every: int = 20
+    removal_opacity_threshold: float = 0.005
+    final_removal_opacity_threshold: float = 0.005
+    reset_opacities: bool = False
+    reset_opacities_every: int = 500
+
+
+def make_densifier(camera, raster_cfg: RasterConfig, sil_thres: float, num_semantic: int):
+    """Jitted add-new-gaussians step for the current frame."""
+
+    @jax.jit
+    def densify(params: Params, variables: Dict, im_gt, depth_gt, time_idx, key):
+        q = params["cam_unnorm_rots"][0, :, time_idx]
+        t = params["cam_trans"][0, :, time_idx]
+        out = render_gaussians(
+            params, variables["active"], q, t, camera, raster_cfg,
+            with_semantic=False, gaussians_grad=False, camera_grad=False,
+        )
+        sil = out.final_opacity
+        depth_error = jnp.abs(depth_gt - out.depth) * (depth_gt > 0)
+        non_presence = (sil < sil_thres) | (
+            (out.depth > depth_gt) & (depth_error > 50 * lower_median(depth_error))
+        )
+        mask = non_presence.reshape(-1) & (depth_gt > 0).reshape(-1)
+
+        w2c = transforms.build_w2c(transforms.normalize(q), t)
+        fields = G.pointcloud_fields(
+            im_gt, depth_gt, camera.intrinsics, w2c, num_semantic, key
+        )
+        params, variables, n_over = G.insert_gaussians(
+            params, variables, fields, mask, time_idx.astype(jnp.float32)
+        )
+        # Reference re-zeroes the densify bookkeeping for ALL gaussians on
+        # every densification (scripts/hierslam.py:1345-1348).
+        variables = dict(variables)
+        variables["means2D_gradient_accum"] = jnp.zeros_like(
+            variables["means2D_gradient_accum"]
+        )
+        variables["denom"] = jnp.zeros_like(variables["denom"])
+        variables["max_2D_radius"] = jnp.zeros_like(variables["max_2D_radius"])
+        return params, variables, jnp.sum(mask.astype(jnp.int32)), n_over
+
+    return densify
+
+
+def make_mapper(
+    camera,
+    loss_cfg: LossConfig,
+    raster_cfg: RasterConfig,
+    lrs: Dict[str, float],
+    num_iters: int,
+    prune_cfg: PruneConfig,
+    mlp_lr: float = 5e-4,
+):
+    """Build the jitted mapping-phase function.
+
+    ``window`` is a dict of stacked device arrays over the selected
+    keyframes: im [W,3,H,W], depth [W,H,W], labels [W,L+1,H,W] (optional),
+    time_idx [W] int32.
+    """
+    with_sem = bool(loss_cfg.sem_levels)
+
+    @jax.jit
+    def map_phase(
+        params: Params,
+        variables: Dict,
+        window: Dict[str, jax.Array],
+        rand_idx: jax.Array,          # [num_iters] int32 into the window
+        mlp: Optional[Params],
+        mlp_state: Optional[optim.AdamState],
+    ):
+        gauss_keys = [k for k in G.GAUSSIAN_KEYS if k in params]
+        gp = {k: params[k] for k in gauss_keys}
+        opt = optim.adam_init(gp)
+
+        # Window poses are fixed during mapping (camera lrs are zero in the
+        # reference mapping config) — gather once.
+        wq = params["cam_unnorm_rots"][0].T[window["time_idx"]]  # [W, 4]
+        wt = params["cam_trans"][0].T[window["time_idx"]]        # [W, 3]
+        wq = jax.lax.stop_gradient(wq)
+        wt = jax.lax.stop_gradient(wt)
+
+        def body(carry, it):
+            gp, variables, opt, mlp, mlp_state = carry
+            k = rand_idx[it]
+            im_gt = window["im"][k]
+            depth_gt = window["depth"][k]
+            labels = window["labels"][k] if "labels" in window else None
+            q, t = wq[k], wt[k]
+
+            def loss_fn(gp_, mlp_):
+                full = dict(params)
+                full.update(gp_)
+                out = render_gaussians(
+                    full, variables["active"], q, t, camera, raster_cfg,
+                    with_semantic=with_sem, gaussians_grad=True, camera_grad=False,
+                )
+                loss, parts = mapping_loss(
+                    out, im_gt, depth_gt, labels, mlp_, it, loss_cfg
+                )
+                return loss, (out.radii, parts)
+
+            if with_sem and loss_cfg.use_mlp:
+                (loss, (radii, parts)), (ggp, gmlp) = jax.value_and_grad(
+                    loss_fn, argnums=(0, 1), has_aux=True
+                )(gp, mlp)
+            else:
+                (loss, (radii, parts)), ggp = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(gp, mlp)
+                gmlp = None
+
+            # --- prune (reference order: backward -> prune -> step;
+            # scripts/hierslam.py:2037-2053) ---
+            do_prune = (
+                (it <= prune_cfg.stop_after)
+                & (it >= prune_cfg.start_after)
+                & (it % prune_cfg.prune_every == 0)
+            )
+            thresh = jnp.where(
+                it == prune_cfg.stop_after,
+                prune_cfg.final_removal_opacity_threshold,
+                prune_cfg.removal_opacity_threshold,
+            )
+            small = jax.nn.sigmoid(gp["logit_opacities"][:, 0]) < thresh
+            big = (
+                jnp.exp(jnp.max(gp["log_scales"], axis=1))
+                > 0.1 * variables["scene_radius"]
+            ) & (it >= prune_cfg.remove_big_after)
+            removed = do_prune & variables["active"] & (small | big)
+            variables = dict(variables)
+            variables["active"] = variables["active"] & ~removed
+            opt = optim.zero_moment_rows(opt, removed)
+
+            if prune_cfg.reset_opacities:
+                do_reset = (
+                    (it > 0)
+                    & (it % prune_cfg.reset_opacities_every == 0)
+                    & (it <= prune_cfg.stop_after)
+                )
+                reset_val = jnp.log(0.01 / 0.99)  # inverse_sigmoid(0.01)
+                gp = dict(gp)
+                gp["logit_opacities"] = jnp.where(
+                    do_reset,
+                    jnp.full_like(gp["logit_opacities"], reset_val),
+                    gp["logit_opacities"],
+                )
+                zeroed = optim.zero_moments_for_key(opt, "logit_opacities")
+                opt = jax.tree_util.tree_map(
+                    lambda a, b: jnp.where(do_reset, b, a), opt, zeroed
+                )
+
+            gp, opt = optim.adam_step(gp, ggp, opt, lrs, eps=1e-15)
+            if gmlp is not None:
+                mlp, mlp_state = optim.adam_step(
+                    mlp, gmlp, mlp_state, {"w": mlp_lr, "b": mlp_lr}, eps=1e-8
+                )
+
+            radf = radii.astype(jnp.float32)
+            variables["max_2D_radius"] = jnp.where(
+                radii > 0,
+                jnp.maximum(variables["max_2D_radius"], radf),
+                variables["max_2D_radius"],
+            )
+            return (gp, variables, opt, mlp, mlp_state), parts["loss"]
+
+        carry, losses = jax.lax.scan(
+            body,
+            (gp, variables, opt, mlp, mlp_state),
+            jnp.arange(num_iters, dtype=jnp.int32),
+        )
+        gp, variables, _, mlp, mlp_state = carry
+        out_params = dict(params)
+        out_params.update(gp)
+        return out_params, variables, mlp, mlp_state, losses
+
+    return map_phase

@@ -1,0 +1,126 @@
+"""Per-frame camera tracking as ONE jitted lax.scan.
+
+The reference runs 40-100 eager torch iterations per frame with a fresh
+Adam and best-candidate bookkeeping (scripts/hierslam.py:1810-1894).  Here
+the whole per-frame optimization — render, masked sum losses, Adam update
+of the pose, best-pose tracking, max-radius bookkeeping — is a single
+compiled scan: zero host round-trips inside a frame.
+
+Faithfulness notes:
+* fresh Adam per frame (moments zeroed), torch-default eps=1e-8
+  (initialize_optimizer, scripts/hierslam.py:411-417);
+* the reference computes the loss at the pre-step pose, steps, then saves
+  the *post-step* pose as candidate when that pre-step loss improved
+  (:1851-1860) — replicated exactly;
+* the final pose is the best candidate, written back into the trajectory
+  (:1892-1894);
+* semantic channels are NOT rendered during tracking — the reference
+  renders them but never uses them in the tracking loss (:802), so
+  skipping them is a pure speedup with no numerical effect.
+* constant-velocity forward prop of the pose init (:1354-1373) is
+  `propagate_pose`.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from hierslam_tpu.core import transforms
+from hierslam_tpu.ops.rasterize import RasterConfig
+from hierslam_tpu.slam.losses import LossConfig, render_gaussians, tracking_loss
+
+Params = Dict[str, jax.Array]
+
+
+def propagate_pose(params: Params, time_idx: int) -> Params:
+    """Constant-velocity pose init for frame ``time_idx``
+    (initialize_camera_pose, scripts/hierslam.py:1354-1373)."""
+    q = params["cam_unnorm_rots"]
+    t = params["cam_trans"]
+    if time_idx > 1:
+        prev1 = transforms.normalize(q[0, :, time_idx - 1])
+        prev2 = transforms.normalize(q[0, :, time_idx - 2])
+        new_q = transforms.normalize(prev1 + (prev1 - prev2))
+        new_t = t[0, :, time_idx - 1] + (t[0, :, time_idx - 1] - t[0, :, time_idx - 2])
+    else:
+        new_q = q[0, :, time_idx - 1]
+        new_t = t[0, :, time_idx - 1]
+    params = dict(params)
+    params["cam_unnorm_rots"] = q.at[0, :, time_idx].set(new_q)
+    params["cam_trans"] = t.at[0, :, time_idx].set(new_t)
+    return params
+
+
+def make_tracker(
+    camera,
+    loss_cfg: LossConfig,
+    raster_cfg: RasterConfig,
+    lr_quat: float,
+    lr_trans: float,
+    num_iters: int,
+):
+    """Build the jitted per-frame tracking function (compiled once per run)."""
+
+    @jax.jit
+    def track(
+        params: Params,
+        active: jax.Array,
+        max_radius: jax.Array,
+        im_gt: jax.Array,
+        depth_gt: jax.Array,
+        q0: jax.Array,
+        t0: jax.Array,
+    ):
+        def loss_fn(q, t):
+            out = render_gaussians(
+                params, active, q, t, camera, raster_cfg,
+                with_semantic=False, gaussians_grad=False, camera_grad=True,
+            )
+            loss, parts = tracking_loss(out, im_gt, depth_gt, loss_cfg)
+            return loss, (out.radii, parts["depth"], parts["im"])
+
+        grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)
+
+        def body(carry, _):
+            (q, t, mq, vq, mt, vt, cnt, bq, bt, bloss, maxrad) = carry
+            (loss, (radii, d_l, i_l)), (gq, gt) = grad_fn(q, t)
+            cnt = cnt + 1
+            tf = cnt.astype(jnp.float32)
+            bc1, bc2 = 1 - 0.9**tf, 1 - 0.999**tf
+            mq = 0.9 * mq + 0.1 * gq
+            vq = 0.999 * vq + 0.001 * gq * gq
+            mt = 0.9 * mt + 0.1 * gt
+            vt = 0.999 * vt + 0.001 * gt * gt
+            q = q - lr_quat * (mq / bc1) / (jnp.sqrt(vq / bc2) + 1e-8)
+            t = t - lr_trans * (mt / bc1) / (jnp.sqrt(vt / bc2) + 1e-8)
+            better = loss < bloss
+            bq = jnp.where(better, q, bq)
+            bt = jnp.where(better, t, bt)
+            bloss = jnp.minimum(loss, bloss)
+            radf = radii.astype(jnp.float32)
+            maxrad = jnp.where(radii > 0, jnp.maximum(maxrad, radf), maxrad)
+            return (q, t, mq, vq, mt, vt, cnt, bq, bt, bloss, maxrad), (loss, d_l, i_l)
+
+        zq, zt = jnp.zeros_like(q0), jnp.zeros_like(t0)
+        init = (
+            q0, t0, zq, zq, zt, zt, jnp.zeros((), jnp.int32),
+            q0, t0, jnp.asarray(jnp.inf, jnp.float32), max_radius,
+        )
+        carry, trace = jax.lax.scan(body, init, None, length=num_iters)
+        (_, _, _, _, _, _, _, bq, bt, bloss, maxrad) = carry
+        return bq, bt, bloss, maxrad, trace
+
+    return track
+
+
+def apply_gt_pose(params: Params, gt_w2c: jax.Array, time_idx: int) -> Params:
+    """use_gt_poses path: write the relative GT pose into the trajectory
+    (scripts/hierslam.py:1895-1904)."""
+    quat = transforms.matrix_to_quaternion(gt_w2c[:3, :3])
+    params = dict(params)
+    params["cam_unnorm_rots"] = params["cam_unnorm_rots"].at[0, :, time_idx].set(quat)
+    params["cam_trans"] = params["cam_trans"].at[0, :, time_idx].set(gt_w2c[:3, 3])
+    return params

@@ -1,0 +1,194 @@
+"""Unit + behavioral tests of the SLAM layer: Adam parity with torch,
+densify/prune slot machinery, tracking convergence on a synthetic scene."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hierslam_tpu.core import gaussians as G
+from hierslam_tpu.core import transforms
+from hierslam_tpu.core.camera import intrinsics_matrix, setup_camera
+from hierslam_tpu.ops.rasterize import RasterConfig
+from hierslam_tpu.slam import optim
+from hierslam_tpu.slam.losses import LossConfig, render_gaussians
+from hierslam_tpu.slam.mapping import PruneConfig, make_densifier, make_mapper
+from hierslam_tpu.slam.tracking import make_tracker, propagate_pose
+
+RC = RasterConfig(max_per_tile=256, gaussian_chunk=64, tile_batch=4)
+
+
+def test_adam_matches_torch():
+    import torch
+
+    rng = np.random.default_rng(0)
+    p0 = rng.normal(size=(7, 3)).astype(np.float32)
+    grads = [rng.normal(size=(7, 3)).astype(np.float32) for _ in range(5)]
+
+    tp = torch.nn.Parameter(torch.tensor(p0.copy()))
+    topt = torch.optim.Adam([tp], lr=1e-2, eps=1e-15)
+    for g in grads:
+        tp.grad = torch.tensor(g)
+        topt.step()
+
+    params = {"x": jnp.asarray(p0)}
+    st = optim.adam_init(params)
+    for g in grads:
+        params, st = optim.adam_step(params, {"x": jnp.asarray(g)}, st, {"x": 1e-2}, eps=1e-15)
+    np.testing.assert_allclose(np.asarray(params["x"]), tp.detach().numpy(), atol=1e-6)
+
+
+def test_insert_and_overflow():
+    params = G.empty_params(10, 4, num_semantic=0)
+    variables = G.empty_variables(10)
+    fields = {
+        "means3D": jnp.arange(24, dtype=jnp.float32).reshape(8, 3),
+        "rgb_colors": jnp.ones((8, 3)),
+        "unnorm_rotations": jnp.zeros((8, 4)).at[:, 0].set(1.0),
+        "logit_opacities": jnp.zeros((8, 1)),
+        "log_scales": jnp.zeros((8, 1)),
+    }
+    mask = jnp.array([1, 0, 1, 1, 0, 1, 1, 1], bool)  # 6 requested
+    params, variables, over = G.insert_gaussians(params, variables, fields, mask, 0.0)
+    assert int(variables["n_active"]) == 6 and int(over) == 0
+    np.testing.assert_allclose(
+        np.asarray(params["means3D"][:6]),
+        np.asarray(fields["means3D"][np.asarray(mask)]),
+    )
+    # Second insert overflows capacity 10.
+    params, variables, over = G.insert_gaussians(params, variables, fields, mask, 1.0)
+    assert int(variables["n_active"]) == 10
+    assert int(over) == 2
+    assert np.asarray(variables["active"])[:10].all()
+
+
+def _synthetic_map(key, n=600, num_semantic=0):
+    """A gaussian cloud forming a rough wall + floor in front of the camera."""
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    wall = jnp.stack(
+        [
+            jax.random.uniform(k1, (n // 2,), minval=-1.5, maxval=1.5),
+            jax.random.uniform(k2, (n // 2,), minval=-1.0, maxval=1.0),
+            2.5 + 0.05 * jax.random.normal(k3, (n // 2,)),
+        ],
+        -1,
+    )
+    floor = jnp.stack(
+        [
+            jax.random.uniform(k2, (n - n // 2,), minval=-1.5, maxval=1.5),
+            1.0 + 0.02 * jax.random.normal(k1, (n - n // 2,)),
+            jax.random.uniform(k3, (n - n // 2,), minval=0.8, maxval=2.5),
+        ],
+        -1,
+    )
+    means = jnp.concatenate([wall, floor])
+    colors = jax.random.uniform(k4, (n, 3))
+    params = {
+        "means3D": means,
+        "rgb_colors": colors,
+        "unnorm_rotations": jnp.zeros((n, 4)).at[:, 0].set(1.0),
+        "logit_opacities": jnp.full((n, 1), 4.0),  # near-opaque
+        "log_scales": jnp.full((n, 1), jnp.log(0.06)),
+        "cam_unnorm_rots": jnp.zeros((1, 4, 4)).at[:, 0, :].set(1.0),
+        "cam_trans": jnp.zeros((1, 3, 4)),
+    }
+    if num_semantic:
+        params["semantic"] = jax.random.uniform(k4, (n, num_semantic))
+    return params
+
+
+def _camera(W=64, H=48, f=40.0):
+    return setup_camera(W, H, intrinsics_matrix(f, f, W / 2, H / 2), np.eye(4))
+
+
+def test_tracking_recovers_pose():
+    camera = _camera()
+    gt = _synthetic_map(jax.random.PRNGKey(0))
+    active = jnp.ones((600,), bool)
+
+    # GT frame rendered at a slightly rotated/translated pose.
+    q_gt = transforms.normalize(jnp.array([1.0, 0.01, -0.02, 0.005]))
+    t_gt = jnp.array([0.03, -0.02, 0.01])
+    out = render_gaussians(
+        gt, active, q_gt, t_gt, camera, RC,
+        with_semantic=False, gaussians_grad=False, camera_grad=False,
+    )
+    im_gt, depth_gt = out.im, out.depth
+
+    cfg = LossConfig(use_sil_for_loss=True, sil_thres=0.99, w_im=0.5, w_depth=1.0)
+    tracker = make_tracker(camera, cfg, RC, lr_quat=4e-4, lr_trans=2e-3, num_iters=200)
+    q0 = jnp.array([1.0, 0.0, 0.0, 0.0])
+    t0 = jnp.zeros(3)
+    maxrad = jnp.zeros((600,))
+    bq, bt, bloss, maxrad, (losses, _, _) = tracker(
+        gt, active, maxrad, im_gt, depth_gt, q0, t0
+    )
+    err0 = float(jnp.linalg.norm(t0 - t_gt))
+    err1 = float(jnp.linalg.norm(bt - t_gt))
+    assert err1 < 0.1 * err0, (err0, err1)
+    assert float(losses[-1]) < float(losses[0]) * 0.1
+    assert float(jnp.max(maxrad)) > 0
+
+
+def test_densify_fills_unseen_regions():
+    camera = _camera()
+    n_cap = 4096
+    params = G.empty_params(n_cap, 4)
+    variables = G.empty_variables(n_cap)
+
+    im_gt = jnp.ones((3, 48, 64)) * 0.5
+    depth_gt = jnp.full((48, 64), 2.0)
+    dens = make_densifier(camera, RC, sil_thres=0.5, num_semantic=0)
+    params, variables, n_added, n_over = dens(
+        params, variables, im_gt, depth_gt, jnp.asarray(0), jax.random.PRNGKey(0)
+    )
+    assert int(n_added) == 48 * 64
+    assert int(n_over) == 0
+    assert int(variables["n_active"]) == 48 * 64
+    # Back-projected depth must reconstruct the GT depth at identity pose.
+    z = np.asarray(params["means3D"][: 48 * 64, 2])
+    np.testing.assert_allclose(z, 2.0, atol=1e-5)
+
+
+def test_mapping_improves_render_and_prunes():
+    camera = _camera()
+    key = jax.random.PRNGKey(1)
+    gt = _synthetic_map(key)
+    active_gt = jnp.ones((600,), bool)
+    out = render_gaussians(
+        gt, active_gt, jnp.array([1.0, 0, 0, 0]), jnp.zeros(3), camera, RC,
+        with_semantic=False, gaussians_grad=False, camera_grad=False,
+    )
+    im_gt, depth_gt = out.im, out.depth
+
+    # Start from a perturbed copy of the map inside a capacity buffer.
+    n_cap = 1024
+    params = G.empty_params(n_cap, 4)
+    variables = G.empty_variables(n_cap)
+    fields = {k: gt[k] for k in ("means3D", "rgb_colors", "unnorm_rotations", "logit_opacities", "log_scales")}
+    fields = dict(fields)
+    fields["rgb_colors"] = jnp.clip(
+        fields["rgb_colors"] + 0.3 * jax.random.normal(key, fields["rgb_colors"].shape), 0, 1
+    )
+    # a handful of transparent gaussians that pruning should remove
+    fields["logit_opacities"] = fields["logit_opacities"].at[:50].set(-8.0)
+    params, variables, _ = G.insert_gaussians(
+        params, variables, fields, jnp.ones((600,), bool), 0.0
+    )
+    variables["scene_radius"] = jnp.asarray(3.0)
+
+    cfg = LossConfig(use_sil_for_loss=False, sil_thres=0.5, w_im=0.5, w_depth=1.0)
+    lrs = {
+        "means3D": 1e-4, "rgb_colors": 2.5e-3, "unnorm_rotations": 1e-3,
+        "logit_opacities": 0.05, "log_scales": 1e-3,
+    }
+    mapper = make_mapper(camera, cfg, RC, lrs, num_iters=30, prune_cfg=PruneConfig())
+    window = {
+        "im": im_gt[None],
+        "depth": depth_gt[None],
+        "time_idx": jnp.zeros((1,), jnp.int32),
+    }
+    rand_idx = jnp.zeros((30,), jnp.int32)
+    n_active_before = int(jnp.sum(variables["active"]))
+    params2, variables2, _, _, losses = mapper(params, variables, window, rand_idx, None, None)
+    assert float(losses[-1]) < float(losses[0])
+    n_active_after = int(jnp.sum(variables2["active"]))
+    assert n_active_after < n_active_before  # low-opacity slots pruned
