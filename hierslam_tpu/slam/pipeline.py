@@ -1,0 +1,383 @@
+"""End-to-end SLAM driver — the equivalent of hierslam_main
+(scripts/hierslam.py:1495-2237), re-architected for TPU:
+
+* all per-iteration math lives in three jitted functions (tracker /
+  densifier / mapper) compiled once per run; the host loop only loads
+  frames, selects keyframes and shuttles data;
+* the Gaussian map is a fixed-capacity slot buffer (no reallocation);
+* the mapping window is padded to a static size so every mapping phase
+  reuses one executable;
+* keyframe images are host-resident (numpy) and uploaded per phase.
+
+Schedule parity: tracking every frame (skip frame 0), densify+mapping when
+``time_idx == 0 or (time_idx+1) % map_every == 0`` (:1929), keyframe
+admission every ``keyframe_every`` (+ frame 0 and num_frames-2) gated on
+finite GT pose (:2108-2124), checkpoints every ``checkpoint_interval``.
+"""
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hierslam_tpu.config import apply_defaults, raster_config
+from hierslam_tpu.core import gaussians as G
+from hierslam_tpu.core import transforms
+from hierslam_tpu.core.camera import setup_camera
+from hierslam_tpu.datasets import get_dataset
+from hierslam_tpu.datasets.base import load_dataset_config
+from hierslam_tpu.slam import optim
+from hierslam_tpu.slam.keyframes import Keyframe, KeyframeStore, keyframe_selection_overlap
+from hierslam_tpu.slam.losses import LossConfig, mlp_init
+from hierslam_tpu.slam.mapping import PruneConfig, make_densifier, make_mapper
+from hierslam_tpu.slam.tracking import apply_gt_pose, make_tracker, propagate_pose
+from hierslam_tpu.utils import io as uio
+
+
+class SLAMRunner:
+    def __init__(self, config: Dict):
+        self.config = config = apply_defaults(config)
+        uio.seed_everything(config["seed"])
+        self.rng = np.random.default_rng(config["seed"])
+        self.key = jax.random.PRNGKey(config["seed"])
+
+        self.output_dir = os.path.join(config["workdir"], config["run_name"])
+        self.eval_dir = os.path.join(self.output_dir, "eval")
+        os.makedirs(self.eval_dir, exist_ok=True)
+
+        # ---- dataset -----------------------------------------------------
+        dc = config["data"]
+        if "gradslam_data_cfg" in dc:
+            data_cfg = load_dataset_config(dc["gradslam_data_cfg"])
+            data_cfg = {**data_cfg, **dc}
+        else:
+            data_cfg = dict(dc)
+            data_cfg["dataset_name"] = dc["dataset_name"]
+        data_cfg["results_dir"] = self.output_dir
+        self.semantic = "semantic" in data_cfg["dataset_name"]
+        self.dataset = get_dataset(
+            config_dict=data_cfg,
+            basedir=dc["basedir"],
+            sequence=os.path.basename(dc["sequence"]),
+            start=dc["start"],
+            end=dc["end"],
+            stride=dc["stride"],
+            desired_height=dc["desired_image_height"],
+            desired_width=dc["desired_image_width"],
+            relative_pose=True,
+        )
+        self.num_frames = dc.get("num_frames", -1)
+        if self.num_frames == -1:
+            self.num_frames = len(self.dataset)
+
+        # ---- semantics ---------------------------------------------------
+        self.num_semantic = 0
+        self.sem_levels: tuple = ()
+        self.num_leaf = 0
+        self.use_mlp = False
+        if self.semantic:
+            ns = self.dataset.num_semantic
+            if isinstance(ns, list):
+                self.sem_levels = tuple(int(x) for x in ns[:-1])
+                self.num_semantic = int(sum(ns[:-1]))
+                self.num_leaf = int(self.dataset.num_semantic_class)
+                self.use_mlp = config.get("model", {}).get("flag_use_embedding", 0) == 1
+            else:
+                self.num_semantic = int(ns)
+                self.sem_levels = (self.num_semantic,)
+                self.num_leaf = int(ns)
+
+        # ---- first frame / camera / map init ----------------------------
+        first = self.dataset[0]
+        color0, depth0, K4, pose0 = first[:4]
+        self.intrinsics = np.asarray(K4)[:3, :3]
+        w2c0 = np.linalg.inv(np.asarray(pose0))
+        H, W = depth0.shape
+        self.H, self.W = H, W
+        self.camera = setup_camera(W, H, self.intrinsics, w2c0)
+        self.first_frame_w2c = w2c0
+
+        capacity = int(config["map_capacity"])
+        self.params = G.empty_params(capacity, self.num_frames, self.num_semantic)
+        self.variables = G.empty_variables(capacity)
+
+        im0 = jnp.asarray(color0.transpose(2, 0, 1) / 255.0, jnp.float32)
+        d0 = jnp.asarray(depth0, jnp.float32)
+        self.key, sub = jax.random.split(self.key)
+        fields = G.pointcloud_fields(
+            im0, d0, jnp.asarray(self.intrinsics), jnp.asarray(w2c0),
+            self.num_semantic, sub,
+        )
+        mask0 = (d0 > 0).reshape(-1)
+        self.params, self.variables, over = G.insert_gaussians(
+            self.params, self.variables, fields, mask0, 0.0
+        )
+        if int(over) > 0:
+            raise ValueError(f"map_capacity {capacity} too small for first frame")
+        self.variables["scene_radius"] = jnp.asarray(
+            float(np.max(depth0)) / config["scene_radius_depth_ratio"], jnp.float32
+        )
+
+        # ---- jitted step functions --------------------------------------
+        rc = raster_config(config)
+        self.rc = rc
+        tcfg = config["tracking"]
+        self.tracking_cfg = tcfg
+        track_loss = LossConfig(
+            use_sil_for_loss=tcfg["use_sil_for_loss"],
+            sil_thres=tcfg["sil_thres"],
+            use_l1=tcfg["use_l1"],
+            ignore_outlier_depth_loss=tcfg["ignore_outlier_depth_loss"],
+            w_im=tcfg["loss_weights"]["im"],
+            w_depth=tcfg["loss_weights"]["depth"],
+        )
+        self.tracker = make_tracker(
+            self.camera, track_loss, rc,
+            lr_quat=tcfg["lrs"]["cam_unnorm_rots"],
+            lr_trans=tcfg["lrs"]["cam_trans"],
+            num_iters=tcfg["num_iters"],
+        )
+
+        mcfg = config["mapping"]
+        self.mapping_cfg = mcfg
+        map_loss = LossConfig(
+            use_sil_for_loss=mcfg["use_sil_for_loss"],
+            sil_thres=mcfg["sil_thres"],
+            use_l1=mcfg["use_l1"],
+            ignore_outlier_depth_loss=mcfg["ignore_outlier_depth_loss"],
+            w_im=mcfg["loss_weights"]["im"],
+            w_depth=mcfg["loss_weights"]["depth"],
+            w_sem=mcfg["loss_weights"].get("sem", 0.0),
+            sem_levels=self.sem_levels if self.semantic else (),
+            num_leaf=self.num_leaf,
+            use_mlp=self.use_mlp,
+        )
+        prune = PruneConfig(**{
+            k: mcfg["pruning_dict"][k]
+            for k in PruneConfig.__dataclass_fields__
+            if k in mcfg.get("pruning_dict", {})
+        }) if mcfg.get("prune_gaussians", False) else None
+        self.prune_enabled = prune is not None
+        map_lrs = {k: v for k, v in mcfg["lrs"].items() if k in G.GAUSSIAN_KEYS}
+        self.mapper = make_mapper(
+            self.camera, map_loss, rc, map_lrs,
+            num_iters=mcfg["num_iters"],
+            prune_cfg=prune or PruneConfig(start_after=10**9),
+        )
+        self.densifier = make_densifier(
+            self.camera, rc, mcfg["sil_thres"], self.num_semantic
+        )
+
+        # ---- semantic decoder -------------------------------------------
+        self.mlp = None
+        self.mlp_state = None
+        if self.use_mlp:
+            self.key, sub = jax.random.split(self.key)
+            self.mlp = mlp_init(self.num_semantic, self.num_leaf, sub)
+            self.mlp_state = optim.adam_init(self.mlp)
+
+        self.keyframes = KeyframeStore()
+        self.gt_w2c_all: List[np.ndarray] = []
+        self.stats = dict(
+            tracking_iter_time_sum=0.0, tracking_iter_time_count=0,
+            tracking_frame_time_sum=0.0, tracking_frame_time_count=0,
+            mapping_iter_time_sum=0.0, mapping_iter_time_count=0,
+            mapping_frame_time_sum=0.0, mapping_frame_time_count=0,
+            densify_added=0, densify_overflow=0,
+        )
+
+    # ------------------------------------------------------------------
+    def _load_frame(self, t: int):
+        item = self.dataset[t]
+        color, depth, _, pose = item[:4]
+        label = item[4] if self.semantic else None
+        gt_w2c = np.linalg.inv(np.asarray(pose))
+        im = np.ascontiguousarray(color.transpose(2, 0, 1) / 255.0, dtype=np.float32)
+        return im, np.asarray(depth, np.float32), label, gt_w2c
+
+    def _window_arrays(self, frames: List[Keyframe], pad_to: int):
+        n = len(frames)
+        reps = [frames[i if i < n else 0] for i in range(pad_to)]
+        window = {
+            "im": jnp.asarray(np.stack([f.color for f in reps])),
+            "depth": jnp.asarray(np.stack([f.depth for f in reps])),
+            "time_idx": jnp.asarray(np.array([f.id for f in reps], np.int32)),
+        }
+        if self.semantic:
+            window["labels"] = jnp.asarray(
+                np.stack([f.labels for f in reps]).astype(np.int32)
+            )
+        return window
+
+    def _est_w2c(self, t: int) -> np.ndarray:
+        q = transforms.normalize(self.params["cam_unnorm_rots"][0, :, t])
+        return np.asarray(transforms.build_w2c(q, self.params["cam_trans"][0, :, t]))
+
+    # ------------------------------------------------------------------
+    def step(self, time_idx: int):
+        """Process one frame (tracking + optional densify/map/keyframe)."""
+        cfg = self.config
+        t = time_idx
+        im_np, depth_np, label_np, gt_w2c = self._load_frame(t)
+        self.gt_w2c_all.append(gt_w2c)
+        im = jnp.asarray(im_np)
+        depth = jnp.asarray(depth_np)
+
+        if t > 0:
+            self.params = propagate_pose(
+                self.params, t, forward_prop=cfg["tracking"]["forward_prop"]
+            )
+
+        # (A) tracking
+        t0 = time.time()
+        if t > 0 and not cfg["tracking"]["use_gt_poses"]:
+            q0 = self.params["cam_unnorm_rots"][0, :, t]
+            tr0 = self.params["cam_trans"][0, :, t]
+            bq, bt, bloss, maxrad, trace = self.tracker(
+                self.params, self.variables["active"],
+                self.variables["max_2D_radius"], im, depth, q0, tr0,
+            )
+            bq.block_until_ready()
+            self.params["cam_unnorm_rots"] = (
+                self.params["cam_unnorm_rots"].at[0, :, t].set(bq)
+            )
+            self.params["cam_trans"] = self.params["cam_trans"].at[0, :, t].set(bt)
+            self.variables["max_2D_radius"] = maxrad
+            n_it = cfg["tracking"]["num_iters"]
+            dt = time.time() - t0
+            self.stats["tracking_iter_time_sum"] += dt
+            self.stats["tracking_iter_time_count"] += n_it
+        elif t > 0:
+            self.params = apply_gt_pose(self.params, jnp.asarray(gt_w2c), t)
+        self.stats["tracking_frame_time_sum"] += time.time() - t0
+        self.stats["tracking_frame_time_count"] += 1
+
+        # (B) densify + mapping
+        if t == 0 or (t + 1) % cfg["map_every"] == 0:
+            m0 = time.time()
+            if cfg["mapping"].get("add_new_gaussians", True) and t > 0:
+                self.key, sub = jax.random.split(self.key)
+                self.params, self.variables, n_added, n_over = self.densifier(
+                    self.params, self.variables, im, depth, jnp.asarray(t), sub
+                )
+                self.stats["densify_added"] += int(n_added)
+                self.stats["densify_overflow"] += int(n_over)
+
+            est_w2c = self._est_w2c(t)
+            num_kf = cfg["mapping_window_size"] - 2
+            selected = keyframe_selection_overlap(
+                depth_np, est_w2c, self.intrinsics,
+                self.keyframes.frames[:-1], num_kf, rng=self.rng,
+            )
+            window_frames = [self.keyframes.frames[i] for i in selected]
+            if len(self.keyframes) > 0:
+                window_frames.append(self.keyframes.frames[-1])
+            window_frames.append(
+                Keyframe(
+                    id=t, w2c=est_w2c, color=im_np, depth=depth_np,
+                    labels=label_np,
+                )
+            )
+            window = self._window_arrays(window_frames, cfg["mapping_window_size"])
+            rand_idx = jnp.asarray(
+                self.rng.integers(0, len(window_frames), cfg["mapping"]["num_iters"]),
+                jnp.int32,
+            )
+            (self.params, self.variables, self.mlp, self.mlp_state, losses) = self.mapper(
+                self.params, self.variables, window, rand_idx, self.mlp, self.mlp_state
+            )
+            jax.block_until_ready(losses)
+            dm = time.time() - m0
+            self.stats["mapping_iter_time_sum"] += dm
+            self.stats["mapping_iter_time_count"] += cfg["mapping"]["num_iters"]
+            self.stats["mapping_frame_time_sum"] += dm
+            self.stats["mapping_frame_time_count"] += 1
+
+        # (C) keyframe admission
+        if (
+            (t == 0 or (t + 1) % cfg["keyframe_every"] == 0 or t == self.num_frames - 2)
+            and np.isfinite(gt_w2c).all()
+        ):
+            self.keyframes.add(
+                Keyframe(
+                    id=t, w2c=self._est_w2c(t), color=im_np, depth=depth_np,
+                    labels=label_np,
+                )
+            )
+
+        # (D) checkpoint
+        if cfg["save_checkpoints"] and t % cfg["checkpoint_interval"] == 0:
+            pn = G.active_params_to_numpy(self.params, self.variables)
+            uio.save_params_ckpt(pn, self.output_dir, t)
+            np.save(
+                os.path.join(self.output_dir, f"keyframe_time_indices{t}.npy"),
+                np.array(self.keyframes.time_indices),
+            )
+            uio.save_semantic_decoder(self.mlp, self.output_dir, suffix=f"_{t}")
+
+    # ------------------------------------------------------------------
+    def finalize(self) -> Dict[str, np.ndarray]:
+        """Save the final params.npz artifact (scripts/hierslam.py:2163-2176)."""
+        pn = G.active_params_to_numpy(self.params, self.variables)
+        pn["intrinsics"] = self.intrinsics
+        pn["w2c"] = self.first_frame_w2c
+        pn["org_width"] = np.asarray(self.W)
+        pn["org_height"] = np.asarray(self.H)
+        pn["gt_w2c_all_frames"] = np.stack(self.gt_w2c_all)
+        pn["keyframe_time_indices"] = np.array(self.keyframes.time_indices)
+        uio.save_params(pn, self.output_dir)
+        uio.save_semantic_decoder(self.mlp, self.output_dir)
+        return pn
+
+    def runtime_summary(self) -> Dict[str, float]:
+        s = self.stats
+        def avg(a, b):
+            return s[a] / max(s[b], 1)
+        return {
+            "tracking_iter_ms": avg("tracking_iter_time_sum", "tracking_iter_time_count") * 1e3,
+            "tracking_frame_s": avg("tracking_frame_time_sum", "tracking_frame_time_count"),
+            "mapping_iter_ms": avg("mapping_iter_time_sum", "mapping_iter_time_count") * 1e3,
+            "mapping_frame_s": avg("mapping_frame_time_sum", "mapping_frame_time_count"),
+            "densify_added": s["densify_added"],
+            "densify_overflow": s["densify_overflow"],
+            "n_active": int(jnp.sum(self.variables["active"])),
+        }
+
+    def run(self, progress: bool = True):
+        it = range(self.num_frames)
+        if progress:
+            from tqdm import tqdm
+
+            it = tqdm(it, desc="hierslam-tpu")
+        for t in it:
+            self.step(t)
+        pn = self.finalize()
+        summ = self.runtime_summary()
+        print(
+            "Average Tracking/Iteration Time: {:.2f} ms\n"
+            "Average Tracking/Frame Time: {:.3f} s\n"
+            "Average Mapping/Iteration Time: {:.2f} ms\n"
+            "Average Mapping/Frame Time: {:.3f} s".format(
+                summ["tracking_iter_ms"], summ["tracking_frame_s"],
+                summ["mapping_iter_ms"], summ["mapping_frame_s"],
+            )
+        )
+        return pn, summ
+
+
+def run_slam(config: Dict, do_eval: bool = True):
+    runner = SLAMRunner(config)
+    params_np, summary = runner.run()
+    results = None
+    if do_eval:
+        from hierslam_tpu.eval.runner import run_final_eval
+
+        results = run_final_eval(
+            runner.dataset, params_np, runner.config, runner.eval_dir,
+            mlp=runner.mlp, num_frames=runner.num_frames,
+        )
+    return params_np, summary, results

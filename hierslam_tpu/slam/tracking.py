@@ -35,12 +35,13 @@ from hierslam_tpu.slam.losses import LossConfig, render_gaussians, tracking_loss
 Params = Dict[str, jax.Array]
 
 
-def propagate_pose(params: Params, time_idx: int) -> Params:
+def propagate_pose(params: Params, time_idx: int, forward_prop: bool = True) -> Params:
     """Constant-velocity pose init for frame ``time_idx``
-    (initialize_camera_pose, scripts/hierslam.py:1354-1373)."""
+    (initialize_camera_pose, scripts/hierslam.py:1354-1373); plain copy of
+    the previous pose when ``forward_prop`` is off."""
     q = params["cam_unnorm_rots"]
     t = params["cam_trans"]
-    if time_idx > 1:
+    if time_idx > 1 and forward_prop:
         prev1 = transforms.normalize(q[0, :, time_idx - 1])
         prev2 = transforms.normalize(q[0, :, time_idx - 2])
         new_q = transforms.normalize(prev1 + (prev1 - prev2))
