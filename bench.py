@@ -1,0 +1,166 @@
+"""Benchmark: SLAM throughput on a Replica-room0-shaped workload.
+
+Measures the two hot loops on real hardware at the reference's headline
+configuration (1200x680 frames, 40 tracking iters/frame, 60 mapping iters
+every 8th frame, 24-frame window semantics with a 26-channel hierarchical
+embedding — configs/replica/hierslam_semantic_run.py:15-19) over a
+synthetic room-scale Gaussian map, and derives end-to-end SLAM FPS:
+
+    fps = 1 / (tracking_frame_time + mapping_frame_time / map_every)
+
+``vs_baseline`` compares against ASSUMED_BASELINE_FPS — the reference
+publishes no numbers (README claims "Fast" only; BASELINE.json
+"published": {}), so we use 0.5 SLAM FPS as a representative figure for
+SplaTAM-class CUDA systems at this workload on a desktop GPU.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+import json
+import time
+
+import numpy as np
+
+ASSUMED_BASELINE_FPS = 0.5
+
+# Workload shape (Replica room0 semantic).
+H, W = 680, 1200
+N_GAUSS = 300_000
+N_SEM = 26
+TRACK_ITERS = 40
+MAP_ITERS = 60
+MAP_EVERY = 8
+WINDOW = 24
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from hierslam_tpu.core import gaussians as G
+    from hierslam_tpu.core.camera import intrinsics_matrix, setup_camera
+    from hierslam_tpu.ops.rasterize import RasterConfig
+    from hierslam_tpu.slam import optim
+    from hierslam_tpu.slam.losses import LossConfig, mlp_init, render_gaussians
+    from hierslam_tpu.slam.mapping import PruneConfig, make_mapper
+    from hierslam_tpu.slam.tracking import make_tracker
+
+    rng = np.random.default_rng(0)
+    key = jax.random.PRNGKey(0)
+
+    # Synthetic room-scale map: gaussians spread over a 6x4x5 m volume.
+    means = np.stack(
+        [
+            rng.uniform(-3, 3, N_GAUSS),
+            rng.uniform(-2, 2, N_GAUSS),
+            rng.uniform(0.5, 5.0, N_GAUSS),
+        ],
+        -1,
+    ).astype(np.float32)
+    capacity = N_GAUSS
+    params = G.empty_params(capacity, 8, N_SEM)
+    params["means3D"] = jnp.asarray(means)
+    params["rgb_colors"] = jnp.asarray(rng.uniform(0, 1, (N_GAUSS, 3)), jnp.float32)
+    params["logit_opacities"] = jnp.asarray(
+        rng.normal(1.5, 1.0, (N_GAUSS, 1)), jnp.float32
+    )
+    params["log_scales"] = jnp.asarray(
+        np.log(rng.uniform(0.008, 0.03, (N_GAUSS, 1))), jnp.float32
+    )
+    params["semantic"] = jax.random.uniform(key, (N_GAUSS, N_SEM))
+    variables = G.empty_variables(capacity)
+    variables["active"] = jnp.ones((capacity,), bool)
+    variables["n_active"] = jnp.asarray(capacity, jnp.int32)
+    variables["scene_radius"] = jnp.asarray(2.3, jnp.float32)
+
+    camera = setup_camera(W, H, intrinsics_matrix(600.0, 600.0, 599.5, 339.5), np.eye(4))
+    rc = RasterConfig(max_per_tile=2048, gaussian_chunk=256, tile_batch=48)
+
+    # GT frame = a render of the map itself.
+    out = render_gaussians(
+        params, variables["active"], jnp.array([1.0, 0, 0, 0]), jnp.zeros(3),
+        camera, rc, with_semantic=False, gaussians_grad=False, camera_grad=False,
+    )
+    im_gt = jax.block_until_ready(jnp.clip(out.im, 0, 1))
+    depth_gt = out.depth
+    dropped = int(out.n_dropped)
+    labels = np.concatenate(
+        [
+            rng.integers(0, n, (1, H, W))
+            for n in (7, 12, 20, 24, 39, 102)
+        ],
+        0,
+    ).astype(np.int32)
+
+    # ---- tracking ---------------------------------------------------------
+    track_loss = LossConfig(use_sil_for_loss=True, sil_thres=0.99, w_im=0.5, w_depth=1.0)
+    tracker = make_tracker(camera, track_loss, rc, 4e-4, 2e-3, TRACK_ITERS)
+    # slightly perturbed starting pose in trajectory slot 1
+    params["cam_unnorm_rots"] = params["cam_unnorm_rots"].at[0, :, 1].set(
+        jnp.array([1.0, 0.001, 0.0, 0.0])
+    )
+
+    def run_track():
+        p2, bl, mr, _ = tracker(
+            params, variables["active"], variables["max_2D_radius"],
+            im_gt, depth_gt, 1,
+        )
+        jax.block_until_ready(bl)
+
+    run_track()  # compile
+    t0 = time.time()
+    reps = 3
+    for _ in range(reps):
+        run_track()
+    track_frame_s = (time.time() - t0) / reps
+
+    # ---- mapping ----------------------------------------------------------
+    map_loss = LossConfig(
+        use_sil_for_loss=False, sil_thres=0.5, w_im=0.5, w_depth=1.0, w_sem=0.2,
+        sem_levels=(7, 12, 20, 24, 39), num_leaf=102, use_mlp=True,
+    )
+    lrs = dict(
+        means3D=1e-4, rgb_colors=2.5e-3, unnorm_rotations=1e-3,
+        logit_opacities=0.05, log_scales=1e-3, semantic=0.05,
+    )
+    mapper = make_mapper(camera, map_loss, rc, lrs, MAP_ITERS, PruneConfig())
+    mlp = mlp_init(N_SEM, 102, key)
+    mlp_state = optim.adam_init(mlp)
+    window = {
+        "im": jnp.broadcast_to(im_gt[None], (WINDOW, 3, H, W)),
+        "depth": jnp.broadcast_to(depth_gt[None], (WINDOW, H, W)),
+        "labels": jnp.broadcast_to(jnp.asarray(labels)[None], (WINDOW, 6, H, W)),
+        "time_idx": jnp.zeros((WINDOW,), jnp.int32),
+    }
+    rand_idx = jnp.asarray(rng.integers(0, WINDOW, MAP_ITERS), jnp.int32)
+
+    def run_map():
+        p2, v2, m2, ms2, losses = mapper(params, variables, window, rand_idx, mlp, mlp_state)
+        jax.block_until_ready(losses)
+
+    run_map()  # compile
+    t0 = time.time()
+    for _ in range(2):
+        run_map()
+    map_frame_s = (time.time() - t0) / 2
+
+    fps = 1.0 / (track_frame_s + map_frame_s / MAP_EVERY)
+    result = {
+        "metric": "slam_fps_replica_room0_shape",
+        "value": round(fps, 4),
+        "unit": "frames/sec",
+        "vs_baseline": round(fps / ASSUMED_BASELINE_FPS, 3),
+        "detail": {
+            "tracking_iter_ms": round(track_frame_s / TRACK_ITERS * 1e3, 2),
+            "tracking_frame_s": round(track_frame_s, 3),
+            "mapping_iter_ms": round(map_frame_s / MAP_ITERS * 1e3, 2),
+            "mapping_frame_s": round(map_frame_s, 3),
+            "n_gaussians": N_GAUSS,
+            "bin_overflow_pairs": dropped,
+            "device": str(jax.devices()[0]),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -35,9 +35,12 @@ from hierslam_tpu.slam.losses import mlp_apply, render_gaussians
 
 def _build_renderer(camera, rc, with_semantic):
     @jax.jit
-    def render(params, q, t):
+    def render(params, time_idx):
+        t_idx = jnp.asarray(time_idx, jnp.int32)
+        q = params["cam_unnorm_rots"][0, :, t_idx]
+        tr = params["cam_trans"][0, :, t_idx]
         return render_gaussians(
-            params, None, q, t, camera, rc,
+            params, None, q, tr, camera, rc,
             with_semantic=with_semantic, gaussians_grad=False, camera_grad=False,
         )
 
@@ -93,9 +96,7 @@ def run_final_eval(
         color, depth_gt, _, _ = item[:4]
         label_gt = item[4] if semantic else None
         im_gt = jnp.asarray(color.transpose(2, 0, 1) / 255.0, jnp.float32)
-        q = gauss["cam_unnorm_rots"][0, :, t]
-        tr = gauss["cam_trans"][0, :, t]
-        out = render(gauss, q, tr)
+        out = render(gauss, t)
 
         valid = np.asarray(depth_gt) > 0
         psnrs.append(float(psnr_j(out.im, im_gt, jnp.asarray(valid))))

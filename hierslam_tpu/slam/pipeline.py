@@ -34,7 +34,7 @@ from hierslam_tpu.slam import optim
 from hierslam_tpu.slam.keyframes import Keyframe, KeyframeStore, keyframe_selection_overlap
 from hierslam_tpu.slam.losses import LossConfig, mlp_init
 from hierslam_tpu.slam.mapping import PruneConfig, make_densifier, make_mapper
-from hierslam_tpu.slam.tracking import apply_gt_pose, make_tracker, propagate_pose
+from hierslam_tpu.slam.tracking import apply_gt_pose, est_w2c, make_tracker, propagate_pose
 from hierslam_tpu.utils import io as uio
 
 
@@ -105,16 +105,18 @@ class SLAMRunner:
         self.params = G.empty_params(capacity, self.num_frames, self.num_semantic)
         self.variables = G.empty_variables(capacity)
 
+        intr_np, w2c0_np, nsem = self.intrinsics, w2c0, self.num_semantic
+
+        @jax.jit
+        def init_first(params, variables, im, d, key):
+            fields = G.pointcloud_fields(im, d, intr_np, w2c0_np, nsem, key)
+            return G.insert_gaussians(params, variables, fields, (d > 0).reshape(-1), 0.0)
+
         im0 = jnp.asarray(color0.transpose(2, 0, 1) / 255.0, jnp.float32)
         d0 = jnp.asarray(depth0, jnp.float32)
         self.key, sub = jax.random.split(self.key)
-        fields = G.pointcloud_fields(
-            im0, d0, jnp.asarray(self.intrinsics), jnp.asarray(w2c0),
-            self.num_semantic, sub,
-        )
-        mask0 = (d0 > 0).reshape(-1)
-        self.params, self.variables, over = G.insert_gaussians(
-            self.params, self.variables, fields, mask0, 0.0
+        self.params, self.variables, over = init_first(
+            self.params, self.variables, im0, d0, sub
         )
         if int(over) > 0:
             raise ValueError(f"map_capacity {capacity} too small for first frame")
@@ -214,8 +216,7 @@ class SLAMRunner:
         return window
 
     def _est_w2c(self, t: int) -> np.ndarray:
-        q = transforms.normalize(self.params["cam_unnorm_rots"][0, :, t])
-        return np.asarray(transforms.build_w2c(q, self.params["cam_trans"][0, :, t]))
+        return np.asarray(est_w2c(self.params, t))
 
     # ------------------------------------------------------------------
     def step(self, time_idx: int):
@@ -235,24 +236,18 @@ class SLAMRunner:
         # (A) tracking
         t0 = time.time()
         if t > 0 and not cfg["tracking"]["use_gt_poses"]:
-            q0 = self.params["cam_unnorm_rots"][0, :, t]
-            tr0 = self.params["cam_trans"][0, :, t]
-            bq, bt, bloss, maxrad, trace = self.tracker(
+            self.params, bloss, maxrad, trace = self.tracker(
                 self.params, self.variables["active"],
-                self.variables["max_2D_radius"], im, depth, q0, tr0,
+                self.variables["max_2D_radius"], im, depth, t,
             )
-            bq.block_until_ready()
-            self.params["cam_unnorm_rots"] = (
-                self.params["cam_unnorm_rots"].at[0, :, t].set(bq)
-            )
-            self.params["cam_trans"] = self.params["cam_trans"].at[0, :, t].set(bt)
+            bloss.block_until_ready()
             self.variables["max_2D_radius"] = maxrad
             n_it = cfg["tracking"]["num_iters"]
             dt = time.time() - t0
             self.stats["tracking_iter_time_sum"] += dt
             self.stats["tracking_iter_time_count"] += n_it
         elif t > 0:
-            self.params = apply_gt_pose(self.params, jnp.asarray(gt_w2c), t)
+            self.params = apply_gt_pose(self.params, jnp.asarray(gt_w2c, jnp.float32), t)
         self.stats["tracking_frame_time_sum"] += time.time() - t0
         self.stats["tracking_frame_time_count"] += 1
 

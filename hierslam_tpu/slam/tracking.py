@@ -6,24 +6,26 @@ the whole per-frame optimization — render, masked sum losses, Adam update
 of the pose, best-pose tracking, max-radius bookkeeping — is a single
 compiled scan: zero host round-trips inside a frame.
 
+The frame index is a TRACED argument everywhere (pose reads/writes are
+dynamic gathers/scatters), so one executable serves the whole sequence —
+no per-frame recompilation.
+
 Faithfulness notes:
 * fresh Adam per frame (moments zeroed), torch-default eps=1e-8
   (initialize_optimizer, scripts/hierslam.py:411-417);
 * the reference computes the loss at the pre-step pose, steps, then saves
   the *post-step* pose as candidate when that pre-step loss improved
   (:1851-1860) — replicated exactly;
-* the final pose is the best candidate, written back into the trajectory
-  (:1892-1894);
+* the final pose written back is the best candidate (:1892-1894);
 * semantic channels are NOT rendered during tracking — the reference
   renders them but never uses them in the tracking loss (:802), so
-  skipping them is a pure speedup with no numerical effect.
-* constant-velocity forward prop of the pose init (:1354-1373) is
-  `propagate_pose`.
+  skipping them is a pure speedup with no numerical effect;
+* constant-velocity pose init (:1354-1373) is `propagate_pose`.
 """
 from __future__ import annotations
 
 from functools import partial
-from typing import Dict, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
@@ -35,24 +37,49 @@ from hierslam_tpu.slam.losses import LossConfig, render_gaussians, tracking_loss
 Params = Dict[str, jax.Array]
 
 
-def propagate_pose(params: Params, time_idx: int, forward_prop: bool = True) -> Params:
-    """Constant-velocity pose init for frame ``time_idx``
-    (initialize_camera_pose, scripts/hierslam.py:1354-1373); plain copy of
-    the previous pose when ``forward_prop`` is off."""
-    q = params["cam_unnorm_rots"]
-    t = params["cam_trans"]
-    if time_idx > 1 and forward_prop:
-        prev1 = transforms.normalize(q[0, :, time_idx - 1])
-        prev2 = transforms.normalize(q[0, :, time_idx - 2])
-        new_q = transforms.normalize(prev1 + (prev1 - prev2))
-        new_t = t[0, :, time_idx - 1] + (t[0, :, time_idx - 1] - t[0, :, time_idx - 2])
+@partial(jax.jit, static_argnames=("forward_prop",))
+def propagate_pose(params: Params, time_idx, forward_prop: bool = True) -> Params:
+    """Pose init for frame ``time_idx`` (traced): constant-velocity forward
+    propagation when enabled and t > 1, else copy of the previous pose
+    (initialize_camera_pose, scripts/hierslam.py:1354-1373)."""
+    t = jnp.asarray(time_idx, jnp.int32)
+    q = params["cam_unnorm_rots"]  # [1, 4, F]
+    tr = params["cam_trans"]       # [1, 3, F]
+    q1 = q[0, :, t - 1]
+    q2 = q[0, :, jnp.maximum(t - 2, 0)]
+    t1 = tr[0, :, t - 1]
+    t2 = tr[0, :, jnp.maximum(t - 2, 0)]
+    if forward_prop:
+        use_cv = t > 1
+        p1, p2 = transforms.normalize(q1), transforms.normalize(q2)
+        new_q = jnp.where(use_cv, transforms.normalize(p1 + (p1 - p2)), q1)
+        new_t = jnp.where(use_cv, t1 + (t1 - t2), t1)
     else:
-        new_q = q[0, :, time_idx - 1]
-        new_t = t[0, :, time_idx - 1]
-    params = dict(params)
-    params["cam_unnorm_rots"] = q.at[0, :, time_idx].set(new_q)
-    params["cam_trans"] = t.at[0, :, time_idx].set(new_t)
-    return params
+        new_q, new_t = q1, t1
+    out = dict(params)
+    out["cam_unnorm_rots"] = q.at[0, :, t].set(new_q)
+    out["cam_trans"] = tr.at[0, :, t].set(new_t)
+    return out
+
+
+@jax.jit
+def apply_gt_pose(params: Params, gt_w2c: jax.Array, time_idx) -> Params:
+    """use_gt_poses path: write the relative GT pose into the trajectory
+    (scripts/hierslam.py:1895-1904)."""
+    t = jnp.asarray(time_idx, jnp.int32)
+    quat = transforms.matrix_to_quaternion(gt_w2c[:3, :3])
+    out = dict(params)
+    out["cam_unnorm_rots"] = params["cam_unnorm_rots"].at[0, :, t].set(quat)
+    out["cam_trans"] = params["cam_trans"].at[0, :, t].set(gt_w2c[:3, 3])
+    return out
+
+
+@jax.jit
+def est_w2c(params: Params, time_idx) -> jax.Array:
+    """Estimated 4x4 w2c of frame ``time_idx`` from the trajectory params."""
+    t = jnp.asarray(time_idx, jnp.int32)
+    q = transforms.normalize(params["cam_unnorm_rots"][0, :, t])
+    return transforms.build_w2c(q, params["cam_trans"][0, :, t])
 
 
 def make_tracker(
@@ -63,7 +90,12 @@ def make_tracker(
     lr_trans: float,
     num_iters: int,
 ):
-    """Build the jitted per-frame tracking function (compiled once per run)."""
+    """Build the jitted per-frame tracking function (compiled once per run).
+
+    Returns ``track(params, active, max_radius, im, depth, time_idx) ->
+    (params, best_loss, max_radius, trace)`` with the best candidate pose
+    already written into the trajectory.
+    """
 
     @jax.jit
     def track(
@@ -72,9 +104,12 @@ def make_tracker(
         max_radius: jax.Array,
         im_gt: jax.Array,
         depth_gt: jax.Array,
-        q0: jax.Array,
-        t0: jax.Array,
+        time_idx,
     ):
+        t_idx = jnp.asarray(time_idx, jnp.int32)
+        q0 = params["cam_unnorm_rots"][0, :, t_idx]
+        t0 = params["cam_trans"][0, :, t_idx]
+
         def loss_fn(q, t):
             out = render_gaussians(
                 params, active, q, t, camera, raster_cfg,
@@ -112,16 +147,9 @@ def make_tracker(
         )
         carry, trace = jax.lax.scan(body, init, None, length=num_iters)
         (_, _, _, _, _, _, _, bq, bt, bloss, maxrad) = carry
-        return bq, bt, bloss, maxrad, trace
+        out = dict(params)
+        out["cam_unnorm_rots"] = params["cam_unnorm_rots"].at[0, :, t_idx].set(bq)
+        out["cam_trans"] = params["cam_trans"].at[0, :, t_idx].set(bt)
+        return out, bloss, maxrad, trace
 
     return track
-
-
-def apply_gt_pose(params: Params, gt_w2c: jax.Array, time_idx: int) -> Params:
-    """use_gt_poses path: write the relative GT pose into the trajectory
-    (scripts/hierslam.py:1895-1904)."""
-    quat = transforms.matrix_to_quaternion(gt_w2c[:3, :3])
-    params = dict(params)
-    params["cam_unnorm_rots"] = params["cam_unnorm_rots"].at[0, :, time_idx].set(quat)
-    params["cam_trans"] = params["cam_trans"].at[0, :, time_idx].set(gt_w2c[:3, 3])
-    return params

@@ -115,13 +115,13 @@ def test_tracking_recovers_pose():
 
     cfg = LossConfig(use_sil_for_loss=True, sil_thres=0.99, w_im=0.5, w_depth=1.0)
     tracker = make_tracker(camera, cfg, RC, lr_quat=4e-4, lr_trans=2e-3, num_iters=200)
-    q0 = jnp.array([1.0, 0.0, 0.0, 0.0])
-    t0 = jnp.zeros(3)
     maxrad = jnp.zeros((600,))
-    bq, bt, bloss, maxrad, (losses, _, _) = tracker(
-        gt, active, maxrad, im_gt, depth_gt, q0, t0
+    # track frame 1 starting from the identity pose stored in the trajectory
+    out_params, bloss, maxrad, (losses, _, _) = tracker(
+        gt, active, maxrad, im_gt, depth_gt, 1
     )
-    err0 = float(jnp.linalg.norm(t0 - t_gt))
+    bt = out_params["cam_trans"][0, :, 1]
+    err0 = float(jnp.linalg.norm(t_gt))
     err1 = float(jnp.linalg.norm(bt - t_gt))
     assert err1 < 0.1 * err0, (err0, err1)
     assert float(losses[-1]) < float(losses[0]) * 0.1
