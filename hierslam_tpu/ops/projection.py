@@ -53,6 +53,7 @@ def preprocess(
     tile_shape: Tuple[int, int],
     active: jax.Array | None = None,
     cov3D_precomp: jax.Array | None = None,
+    pixel_offset_y=0.0,
 ) -> Preprocessed:
     """Project Gaussians to screen space.
 
@@ -117,8 +118,17 @@ def preprocess(
     radius_f = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lambda1, mid - sq)))
     radius_f = jax.lax.stop_gradient(radius_f)
 
+    # pixel_offset_y shifts the vertical pixel frame (used by tile-sharded
+    # strip rendering: each device renders rows [off, off+strip_h) as local
+    # rows [0, strip_h)); orig_height preserves the projection when a strip
+    # camera is shorter than the full image.
+    orig_h = camera.proj_height or camera.height
     xy = jnp.stack(
-        [ndc2pix(p_proj[:, 0], camera.width), ndc2pix(p_proj[:, 1], camera.height)], -1
+        [
+            ndc2pix(p_proj[:, 0], camera.width),
+            ndc2pix(p_proj[:, 1], orig_h) - pixel_offset_y,
+        ],
+        -1,
     )
 
     # getRect (auxiliary.h:46-56) over the tile grid.

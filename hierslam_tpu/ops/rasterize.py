@@ -58,6 +58,7 @@ def rasterize(
     semantics: Optional[jax.Array] = None,
     active: Optional[jax.Array] = None,
     config: RasterConfig = RasterConfig(),
+    pixel_offset_y=0.0,
 ) -> RenderOutput:
     """Rasterize N Gaussians into the camera.
 
@@ -82,7 +83,8 @@ def rasterize(
         scales = jnp.tile(scales, (1, 3))
 
     prep = projection.preprocess(
-        means3D, scales, rotations, camera, config.tile_shape, active=active
+        means3D, scales, rotations, camera, config.tile_shape, active=active,
+        pixel_offset_y=pixel_offset_y,
     )
 
     lists = binning.bin_gaussians(

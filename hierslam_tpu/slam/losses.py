@@ -86,6 +86,7 @@ def render_gaussians(
     with_semantic: bool,
     gaussians_grad: bool,
     camera_grad: bool,
+    pixel_offset_y=0.0,
 ) -> RenderOutput:
     """transform_to_frame + activation packing + rasterize.
 
@@ -115,6 +116,7 @@ def render_gaussians(
         semantics=sem,
         active=active,
         config=raster_cfg,
+        pixel_offset_y=pixel_offset_y,
     )
 
 
