@@ -33,6 +33,65 @@ from hierslam_tpu.eval import metrics as M
 from hierslam_tpu.slam.losses import mlp_apply, render_gaussians
 
 
+def run_nvs_eval(
+    dataset,
+    params_np: Dict[str, np.ndarray],
+    config: Dict,
+    eval_dir: str,
+    sil_thres: float = 0.5,
+) -> Dict[str, float]:
+    """Novel-view synthesis evaluation (eval_nvs, utils/eval_helpers.py:1648):
+    render held-out views at their GT poses and score only pixels the map
+    actually covers (rendered presence > sil_thres AND valid GT depth — the
+    hole-validity test of :1732-1738)."""
+    os.makedirs(eval_dir, exist_ok=True)
+    first = dataset[0]
+    _, depth0, K4, _ = first[:4]
+    H, W = depth0.shape
+    intrinsics = np.asarray(K4)[:3, :3]
+    camera = setup_camera(W, H, intrinsics, params_np["w2c"])
+    rc = raster_config(config)
+
+    gauss = {
+        k: jnp.asarray(params_np[k])
+        for k in (
+            "means3D", "rgb_colors", "unnorm_rotations", "logit_opacities",
+            "log_scales",
+        )
+    }
+
+    @jax.jit
+    def render(q, t):
+        return render_gaussians(
+            gauss, None, q, t, camera, rc,
+            with_semantic=False, gaussians_grad=False, camera_grad=False,
+        )
+
+    psnr_j = jax.jit(M.masked_psnr)
+    ms_ssim_j = jax.jit(M.ms_ssim)
+    psnrs, msssims, d_l1 = [], [], []
+    for t in range(len(dataset)):
+        item = dataset[t]
+        color, depth_gt, _, pose = item[:4]
+        gt_w2c = np.linalg.inv(np.asarray(pose))
+        q = transforms.matrix_to_quaternion(jnp.asarray(gt_w2c[:3, :3], jnp.float32))
+        out = render(q, jnp.asarray(gt_w2c[:3, 3], jnp.float32))
+        valid = (np.asarray(depth_gt) > 0) & (np.asarray(out.final_opacity) > sil_thres)
+        im_gt = jnp.asarray(color.transpose(2, 0, 1) / 255.0, jnp.float32)
+        psnrs.append(float(psnr_j(out.im, im_gt, jnp.asarray(valid))))
+        msssims.append(float(ms_ssim_j(jnp.clip(out.im, 0, 1), im_gt)))
+        _, l1 = M.depth_metrics(np.asarray(out.depth), np.asarray(depth_gt), valid)
+        d_l1.append(l1)
+    results = {
+        "nvs_psnr": float(np.mean(psnrs)) if psnrs else 0.0,
+        "nvs_ms_ssim": float(np.mean(msssims)) if msssims else 0.0,
+        "nvs_depth_l1_cm": float(np.mean(d_l1)) * 100 if d_l1 else 0.0,
+    }
+    print("[NVS] PSNR {nvs_psnr:.3f} MS-SSIM {nvs_ms_ssim:.4f} "
+          "Depth L1 {nvs_depth_l1_cm:.3f} cm".format(**results))
+    return results
+
+
 def _build_renderer(camera, rc, with_semantic):
     @jax.jit
     def render(params, time_idx):
