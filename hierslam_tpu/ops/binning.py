@@ -1,19 +1,22 @@
-"""Static-shape tile binning: depth sort + per-tile top-K index lists.
+"""Static-shape tile binning: sort-based duplicate + compact (no scatters).
 
-TPU-native replacement for the CUDA pipeline's dynamic
+TPU-native equivalent of the CUDA pipeline's dynamic
 ``duplicateWithKeys -> CUB radix sort -> identifyTileRanges``
-(cuda_rasterizer/rasterizer_impl.cu:70-138, 281-312).  The CUDA code sorts
-one duplicated key per (Gaussian, tile) overlap; the per-tile segment of that
-sort is simply the tile's overlapping Gaussians in depth order.  We obtain
-the same ordering with static shapes:
+(cuda_rasterizer/rasterizer_impl.cu:70-138, 281-312):
 
-1. sort Gaussians once globally by view depth (``jax.lax.sort`` — stable, so
-   per-tile order matches the radix sort's (tile, depth) key order);
-2. for each tile, compact the indices of the Gaussians whose screen rect
-   covers it into a fixed-capacity list of K slots (order-preserving), using
-   a chunked mask+cumsum+scatter so peak memory is bounded regardless of N.
+1. every Gaussian emits up to ``max_tiles_per_gaussian`` (tile, depth-rank)
+   key pairs — one per tile its screen rect covers, enumerated
+   arithmetically (row-major within the rect), with invalid/overflow slots
+   keyed past the last tile;
+2. ONE ``jax.lax.sort`` over the flattened pairs (two keys: tile id, then
+   depth rank — replacing the radix sort over ``tile<<32|depth-bits``);
+3. per-tile ranges via ``searchsorted`` and fixed-K per-tile lists via a
+   strided gather (replacing ``identifyTileRanges``).
 
-Overflow beyond K is counted and reported, never silently hidden.
+Scatter-free by construction: XLA scatters are pathologically slow on TPU
+(both to compile and to run), while sorts, searchsorted and gathers are
+well-supported.  Overflow beyond K per tile or beyond the per-gaussian
+emission cap is counted and reported, never silently hidden.
 """
 from __future__ import annotations
 
@@ -26,7 +29,7 @@ import jax.numpy as jnp
 class TileLists(NamedTuple):
     idx: jax.Array       # [T, K] int32 Gaussian indices in depth order, -1 pad
     count: jax.Array     # [T] int32 number of overlapping Gaussians (may exceed K)
-    n_dropped: jax.Array  # [] int32 total overflowed (gaussian, tile) pairs
+    n_dropped: jax.Array  # [] int32 overflowed (gaussian, tile) pairs (K cap + emission cap)
 
 
 def bin_gaussians(
@@ -36,7 +39,8 @@ def bin_gaussians(
     depth: jax.Array,
     grid: Tuple[int, int],
     max_per_tile: int,
-    chunk: int = 16384,
+    chunk: int = 16384,                 # kept for API compatibility (unused)
+    max_tiles_per_gaussian: int = 32,
 ) -> TileLists:
     """Build per-tile depth-ordered index lists.
 
@@ -45,63 +49,55 @@ def bin_gaussians(
         valid: [N] bool.
         depth: [N] f32 view depths.
         grid: (grid_y, grid_x) tile grid.
-        max_per_tile: K, static capacity per tile.
-        chunk: gaussians processed per scan step (bounds peak memory at
-            T*chunk int32).
+        max_per_tile: K, static per-tile capacity.
+        max_tiles_per_gaussian: static per-gaussian tile-emission capacity
+            (the reference's ``tiles_touched`` is unbounded; rects larger
+            than this emit only their first cells, counted in n_dropped).
     """
     grid_y, grid_x = grid
     n = depth.shape[0]
     num_tiles = grid_y * grid_x
     k = max_per_tile
+    r_cap = max_tiles_per_gaussian
 
-    # Depth-sort once; invalid gaussians sink to the end.
+    # Depth rank (the radix key's depth bits): position in the depth order.
     order = jnp.argsort(jnp.where(valid, depth, jnp.inf), stable=True).astype(jnp.int32)
-    s_min = rect_min[order]
-    s_max = rect_max[order]
-    s_valid = valid[order]
+    rank = jnp.argsort(order, stable=True).astype(jnp.int32)  # inverse permutation
 
-    chunk = min(chunk, max(n, 1))
-    n_pad = ((n + chunk - 1) // chunk) * chunk
-    pad = n_pad - n
-    if pad:
-        order = jnp.pad(order, (0, pad), constant_values=0)
-        s_min = jnp.pad(s_min, ((0, pad), (0, 0)))
-        s_max = jnp.pad(s_max, ((0, pad), (0, 0)))
-        s_valid = jnp.pad(s_valid, (0, pad), constant_values=False)
-    n_chunks = n_pad // chunk
+    w_rect = (rect_max[:, 0] - rect_min[:, 0]).astype(jnp.int32)
+    h_rect = (rect_max[:, 1] - rect_min[:, 1]).astype(jnp.int32)
+    touched = jnp.where(valid, w_rect * h_rect, 0)
+    n_dropped_emit = jnp.sum(jnp.maximum(touched - r_cap, 0))
+
+    r = jnp.arange(r_cap, dtype=jnp.int32)                    # [R]
+    safe_w = jnp.maximum(w_rect, 1)[:, None]
+    cell_x = rect_min[:, 0:1] + (r[None, :] % safe_w)
+    cell_y = rect_min[:, 1:2] + (r[None, :] // safe_w)
+    pair_tile = cell_y * grid_x + cell_x                      # [N, R]
+    pair_ok = valid[:, None] & (r[None, :] < touched[:, None])
+    pair_tile = jnp.where(pair_ok, pair_tile, num_tiles).astype(jnp.int32)
+
+    flat_tile = pair_tile.reshape(-1)
+    flat_rank = jnp.broadcast_to(rank[:, None], (n, r_cap)).reshape(-1)
+    flat_gauss = jnp.broadcast_to(
+        jnp.arange(n, dtype=jnp.int32)[:, None], (n, r_cap)
+    ).reshape(-1)
+
+    s_tile, s_rank, s_gauss = jax.lax.sort(
+        (flat_tile, flat_rank, flat_gauss), num_keys=2
+    )
 
     tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
-    tile_tx = (tile_ids % grid_x)[:, None]   # [T, 1]
-    tile_ty = (tile_ids // grid_x)[:, None]  # [T, 1]
+    starts = jnp.searchsorted(s_tile, tile_ids).astype(jnp.int32)
+    ends = jnp.searchsorted(s_tile, tile_ids, side="right").astype(jnp.int32)
+    counts = ends - starts
 
-    def step(carry, c):
-        lists, counts = carry
-        lo = c * chunk
-        cmin = jax.lax.dynamic_slice_in_dim(s_min, lo, chunk, 0)
-        cmax = jax.lax.dynamic_slice_in_dim(s_max, lo, chunk, 0)
-        cval = jax.lax.dynamic_slice_in_dim(s_valid, lo, chunk, 0)
-        cidx = jax.lax.dynamic_slice_in_dim(order, lo, chunk, 0)
+    kk = jnp.arange(k, dtype=jnp.int32)
+    take = starts[:, None] + kk[None, :]                      # [T, K]
+    ok = kk[None, :] < counts[:, None]
+    m = s_gauss.shape[0]
+    s_gauss_pad = jnp.concatenate([s_gauss, jnp.full((1,), -1, jnp.int32)])
+    lists = jnp.where(ok, s_gauss_pad[jnp.minimum(take, m)], -1)
 
-        # [T, chunk] tile-overlap mask.
-        hit = (
-            cval[None, :]
-            & (tile_tx >= cmin[None, :, 0])
-            & (tile_tx < cmax[None, :, 0])
-            & (tile_ty >= cmin[None, :, 1])
-            & (tile_ty < cmax[None, :, 1])
-        )
-        local = jnp.cumsum(hit.astype(jnp.int32), axis=1)
-        slot = counts[:, None] + local - 1
-        ok = hit & (slot < k)
-        flat = jnp.where(ok, tile_ids[:, None] * k + slot, num_tiles * k)
-        vals = jnp.broadcast_to(cidx[None, :], flat.shape)
-        lists = lists.at[flat.reshape(-1)].set(vals.reshape(-1), mode="drop")
-        counts = counts + local[:, -1]
-        return (lists, counts), None
-
-    lists0 = jnp.full((num_tiles * k,), -1, dtype=jnp.int32)
-    counts0 = jnp.zeros((num_tiles,), dtype=jnp.int32)
-    (lists, counts), _ = jax.lax.scan(step, (lists0, counts0), jnp.arange(n_chunks))
-
-    n_dropped = jnp.sum(jnp.maximum(counts - k, 0))
-    return TileLists(idx=lists.reshape(num_tiles, k), count=counts, n_dropped=n_dropped)
+    n_dropped = jnp.sum(jnp.maximum(counts - k, 0)) + n_dropped_emit
+    return TileLists(idx=lists, count=counts, n_dropped=n_dropped)

@@ -54,6 +54,7 @@ def preprocess(
     active: jax.Array | None = None,
     cov3D_precomp: jax.Array | None = None,
     pixel_offset_y=0.0,
+    radius_margin_px: float = 0.0,
 ) -> Preprocessed:
     """Project Gaussians to screen space.
 
@@ -131,14 +132,17 @@ def preprocess(
         -1,
     )
 
-    # getRect (auxiliary.h:46-56) over the tile grid.
+    # getRect (auxiliary.h:46-56) over the tile grid.  radius_margin_px
+    # inflates the rects for amortized binning (the blend re-applies the
+    # exact current-pose rect test per slot).
     grid_x = (camera.width + tw - 1) // tw
     grid_y = (camera.height + th - 1) // th
     xy_ng = jax.lax.stop_gradient(xy)
-    rect_min_x = jnp.clip(jnp.floor((xy_ng[:, 0] - radius_f) / tw), 0, grid_x).astype(jnp.int32)
-    rect_min_y = jnp.clip(jnp.floor((xy_ng[:, 1] - radius_f) / th), 0, grid_y).astype(jnp.int32)
-    rect_max_x = jnp.clip(jnp.floor((xy_ng[:, 0] + radius_f + tw - 1) / tw), 0, grid_x).astype(jnp.int32)
-    rect_max_y = jnp.clip(jnp.floor((xy_ng[:, 1] + radius_f + th - 1) / th), 0, grid_y).astype(jnp.int32)
+    rad_rect = radius_f + radius_margin_px
+    rect_min_x = jnp.clip(jnp.floor((xy_ng[:, 0] - rad_rect) / tw), 0, grid_x).astype(jnp.int32)
+    rect_min_y = jnp.clip(jnp.floor((xy_ng[:, 1] - rad_rect) / th), 0, grid_y).astype(jnp.int32)
+    rect_max_x = jnp.clip(jnp.floor((xy_ng[:, 0] + rad_rect + tw - 1) / tw), 0, grid_x).astype(jnp.int32)
+    rect_max_y = jnp.clip(jnp.floor((xy_ng[:, 1] + rad_rect + th - 1) / th), 0, grid_y).astype(jnp.int32)
 
     tiles_touched = (rect_max_x - rect_min_x) * (rect_max_y - rect_min_y)
     valid = in_frustum & det_valid & (tiles_touched > 0)

@@ -9,6 +9,21 @@ differentiable w.r.t. means/colors/opacities/scales/rotations/semantics.
 Unlike the reference, the semantic channel count is a runtime array width —
 not a compile-time ``NUM_SEMANTIC`` #define (cuda_rasterizer/config.h:18) —
 so one build serves every dataset/tree configuration.
+
+TPU-first structure (replacing the CUDA duplicate+radix-sort pipeline,
+rasterizer_impl.cu:281-312):
+
+1. ``preprocess`` — elementwise screen-space projection (XLA fuses);
+2. ``bin_gaussians`` — depth sort + static per-tile top-K lists, plus a
+   scatter-free inverse map for gradient routing;
+3. one custom-VJP gather into [T, K, ...] per-tile arrays;
+4. ``blend_tiles`` — chunked cumprod transmittance + matmul accumulation.
+
+Binning may be AMORTIZED: pass ``binning=`` (built with a pixel margin via
+:func:`bin_for_params`) to reuse tile lists across optimizer iterations;
+the blend re-applies the CURRENT pose's rect culling per slot, so results
+remain exact as long as the margin covers the pose/param drift since the
+lists were built.
 """
 from __future__ import annotations
 
@@ -19,6 +34,7 @@ import jax
 import jax.numpy as jnp
 
 from hierslam_tpu.ops import binning, projection, render_xla
+from hierslam_tpu.ops.gather_vjp import InverseMap, build_inverse_map, gather_rows
 
 
 @dataclass(frozen=True)
@@ -30,10 +46,17 @@ class RasterConfig:
     gaussian_chunk: int = 256         # G: blend chunk along the Gaussian axis
     tile_batch: int = 64              # tiles composited per scan step
     bin_chunk: int = 16384            # gaussians per binning scan step
+    max_refs: int = 24                # R: per-gaussian (tile,slot) gradient routes
+    max_tiles_per_gaussian: int = 32  # per-gaussian tile-emission capacity
 
     def grid(self, height: int, width: int) -> Tuple[int, int]:
         th, tw = self.tile_shape
         return ((height + th - 1) // th, (width + tw - 1) // tw)
+
+
+class Binning(NamedTuple):
+    lists: binning.TileLists
+    inverse: InverseMap
 
 
 class RenderOutput(NamedTuple):
@@ -48,6 +71,48 @@ class RenderOutput(NamedTuple):
     tile_count: jax.Array         # [T] int32 per-tile gaussian counts
 
 
+def _normalize_inputs(opacities, scales):
+    if opacities.ndim == 2:
+        opacities = opacities[:, 0]
+    if scales.ndim == 2 and scales.shape[1] == 1:
+        scales = jnp.tile(scales, (1, 3))
+    return opacities, scales
+
+
+def compute_binning(
+    means3D: jax.Array,
+    scales: jax.Array,
+    rotations: jax.Array,
+    camera,
+    config: RasterConfig,
+    active: Optional[jax.Array] = None,
+    margin_px: float = 0.0,
+    pixel_offset_y=0.0,
+) -> Binning:
+    """Tile lists + inverse gradient map for the given (camera-frame) means.
+
+    ``margin_px`` inflates the screen rects so the lists stay valid while
+    the pose/params drift during an optimization window (amortized binning).
+    """
+    _, scales = _normalize_inputs(jnp.zeros(means3D.shape[0]), scales)
+    prep = projection.preprocess(
+        jax.lax.stop_gradient(means3D),
+        jax.lax.stop_gradient(scales),
+        jax.lax.stop_gradient(rotations),
+        camera, config.tile_shape, active=active,
+        pixel_offset_y=pixel_offset_y, radius_margin_px=margin_px,
+    )
+    grid = config.grid(camera.height, camera.width)
+    lists = binning.bin_gaussians(
+        prep.rect_min, prep.rect_max, prep.valid,
+        jax.lax.stop_gradient(prep.depth), grid, config.max_per_tile,
+        chunk=config.bin_chunk,
+        max_tiles_per_gaussian=config.max_tiles_per_gaussian,
+    )
+    inverse = build_inverse_map(lists.idx, means3D.shape[0], config.max_refs)
+    return Binning(lists=lists, inverse=inverse)
+
+
 def rasterize(
     means3D: jax.Array,
     colors: jax.Array,
@@ -59,6 +124,7 @@ def rasterize(
     active: Optional[jax.Array] = None,
     config: RasterConfig = RasterConfig(),
     pixel_offset_y=0.0,
+    binning_cache: Optional[Binning] = None,
 ) -> RenderOutput:
     """Rasterize N Gaussians into the camera.
 
@@ -72,44 +138,51 @@ def rasterize(
         semantics: optional [N, S] per-Gaussian semantic embedding
             (raw logits, blended linearly like colors — forward.cu:507-508).
         active: optional [N] bool — capacity-slot liveness mask.
+        binning_cache: optional amortized tile lists from
+            :func:`compute_binning`; when omitted, binning runs fresh.
     """
     H, W = camera.height, camera.width
-    th, tw = config.tile_shape
     grid = config.grid(H, W)
-
-    if opacities.ndim == 2:
-        opacities = opacities[:, 0]
-    if scales.ndim == 2 and scales.shape[1] == 1:
-        scales = jnp.tile(scales, (1, 3))
+    opacities, scales = _normalize_inputs(opacities, scales)
 
     prep = projection.preprocess(
         means3D, scales, rotations, camera, config.tile_shape, active=active,
         pixel_offset_y=pixel_offset_y,
     )
 
-    lists = binning.bin_gaussians(
-        prep.rect_min,
-        prep.rect_max,
-        prep.valid,
-        jax.lax.stop_gradient(prep.depth),
-        grid,
-        config.max_per_tile,
-        chunk=config.bin_chunk,
+    if binning_cache is None:
+        lists = binning.bin_gaussians(
+            prep.rect_min, prep.rect_max, prep.valid,
+            jax.lax.stop_gradient(prep.depth), grid, config.max_per_tile,
+            chunk=config.bin_chunk,
+            max_tiles_per_gaussian=config.max_tiles_per_gaussian,
+        )
+        inverse = build_inverse_map(lists.idx, means3D.shape[0], config.max_refs)
+    else:
+        lists, inverse = binning_cache
+
+    # Current-pose rect re-check (no-op for fresh binning; restores exact
+    # rect-culling semantics for amortized lists).
+    slot_ok = render_xla.rect_recheck_mask(
+        lists.idx, prep.rect_min, prep.rect_max, prep.valid, grid
     )
 
+    # One fused gather of all per-gaussian blend quantities (custom VJP —
+    # backward routes cotangents through the inverse map, never a scatter).
     feats = colors if semantics is None else jnp.concatenate([colors, semantics], axis=1)
-    acc, final_T, med = render_xla.render_tiles(
-        lists.idx,
-        prep.xy,
-        prep.conic,
-        opacities,
-        prep.depth,
-        feats,
-        image_shape=(H, W),
-        tile_shape=config.tile_shape,
-        grid=grid,
-        chunk=config.gaussian_chunk,
-        tile_batch=config.tile_batch,
+    table = jnp.concatenate(
+        [prep.xy, prep.conic, opacities[:, None], prep.depth[:, None], feats], axis=1
+    )
+    g = gather_rows(table, lists.idx, inverse.slots)
+    g_xy, g_conic = g[..., 0:2], g[..., 2:5]
+    g_opa = jnp.where(slot_ok, g[..., 5], 0.0)
+    g_depth = g[..., 6]
+    g_feat = g[..., 7:]
+
+    acc, final_T, med = render_xla.blend_tiles(
+        g_xy, g_conic, g_opa, g_depth, g_feat, slot_ok,
+        image_shape=(H, W), tile_shape=config.tile_shape, grid=grid,
+        chunk=config.gaussian_chunk, tile_batch=config.tile_batch,
     )
 
     im = acc[:3]

@@ -1,0 +1,158 @@
+"""Pose-only fast rendering for camera tracking.
+
+During tracking the Gaussian parameters are FROZEN — only the 7-dof camera
+pose moves (scripts/hierslam.py:1810-1894, lrs zero everything else).  The
+general rasterizer re-gathers per-tile Gaussian data every iteration; on
+TPU gathers are the dominant cost.  This path instead:
+
+1. bins ONCE per frame at the pose-propagated initial pose, with a pixel
+   margin covering the in-frame pose drift;
+2. gathers the frame-constant raw attributes (world mean, color, opacity,
+   isotropic scale) into [T, K, ...] tile layout ONCE;
+3. every iteration does only dense math: pose-transform the gathered
+   means, EWA-project in tile space, re-apply the exact current-pose
+   rect/frustum culling, blend.  Gradients reduce straight to the 7 pose
+   dofs — no gather, no scatter, anywhere.
+
+The per-pair projection reproduces preprocess (forward.cu:74-113,156-256)
+specialized to isotropic covariance: with w2c rotation folded into the
+pre-transformed means, ``cov2d = s^2 J J^T + 0.3 I``.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from hierslam_tpu.core import transforms
+from hierslam_tpu.ops import render_xla
+from hierslam_tpu.ops.rasterize import RasterConfig, compute_binning
+
+
+class TrackCache(NamedTuple):
+    means_world: jax.Array   # [T, K, 3]
+    colors: jax.Array        # [T, K, 3]
+    opacity: jax.Array       # [T, K] post-sigmoid
+    scale: jax.Array         # [T, K] isotropic post-exp
+    slot_valid: jax.Array    # [T, K]
+    radii0: jax.Array        # [N] radii at the cache pose (bookkeeping)
+    n_dropped: jax.Array
+
+
+def build_track_cache(
+    params, active, q0, t0, camera, config: RasterConfig, margin_px: float = 12.0
+) -> TrackCache:
+    """Bin + gather the frame-constant attributes at the initial pose."""
+    means_cam0, _ = transforms.transform_to_frame(
+        params["means3D"], params["unnorm_rotations"],
+        jax.lax.stop_gradient(q0), jax.lax.stop_gradient(t0),
+        gaussians_grad=False, camera_grad=False, transform_rots=False,
+    )
+    scales = jnp.exp(params["log_scales"])
+    b = compute_binning(
+        means_cam0, scales, params["unnorm_rotations"], camera, config,
+        active=active, margin_px=margin_px,
+    )
+    idx = b.lists.idx
+    safe = jnp.maximum(idx, 0)
+    valid = idx >= 0
+    if active is not None:
+        valid = valid & active[safe]
+    table = jnp.concatenate(
+        [
+            params["means3D"],
+            params["rgb_colors"],
+            jax.nn.sigmoid(params["logit_opacities"]),
+            scales[:, :1],
+        ],
+        axis=1,
+    )
+    g = jax.lax.stop_gradient(table)[safe]  # plain gather; cache is not differentiated
+    # radii at cache pose for the reference's max_2D_radius bookkeeping
+    from hierslam_tpu.ops import projection
+
+    prep0 = projection.preprocess(
+        means_cam0, jnp.tile(scales[:, :1], (1, 3)), params["unnorm_rotations"],
+        camera, config.tile_shape, active=active,
+    )
+    return TrackCache(
+        means_world=g[..., 0:3],
+        colors=g[..., 3:6],
+        opacity=jnp.where(valid, g[..., 6], 0.0),
+        scale=g[..., 7],
+        slot_valid=valid,
+        radii0=prep0.radius,
+        n_dropped=b.lists.n_dropped,
+    )
+
+
+def render_tracked(
+    cache: TrackCache, q: jax.Array, t: jax.Array, camera, config: RasterConfig
+):
+    """Render at pose (q, t) from the cache.  Returns
+    (im [3,H,W], depth, median_depth, final_opacity, mask)."""
+    H, W = camera.height, camera.width
+    th, tw = config.tile_shape
+    grid = config.grid(H, W)
+    grid_y, grid_x = grid
+
+    w2c = transforms.build_w2c(transforms.normalize(q), t)
+    m = cache.means_world @ w2c[:3, :3].T + w2c[:3, 3]  # [T, K, 3] camera frame
+    z = m[..., 2]
+    in_front = z > 0.2  # auxiliary.h:139-162
+
+    full = jnp.asarray(camera.full_proj)
+    p_hom = m @ full[:, :3].T + full[:, 3]
+    p_w = 1.0 / (p_hom[..., 3] + 1e-7)
+    xy = jnp.stack(
+        [
+            ((p_hom[..., 0] * p_w + 1.0) * W - 1.0) * 0.5,
+            ((p_hom[..., 1] * p_w + 1.0) * H - 1.0) * 0.5,
+        ],
+        -1,
+    )
+
+    # isotropic EWA: cov2d = s^2 J J^T + 0.3 I (forward.cu:74-113)
+    safe_z = jnp.where(z == 0, 1.0, z)
+    inv_z = 1.0 / safe_z
+    limx, limy = 1.3 * camera.tan_fovx, 1.3 * camera.tan_fovy
+    txc = jnp.clip(m[..., 0] * inv_z, -limx, limx)
+    tyc = jnp.clip(m[..., 1] * inv_z, -limy, limy)
+    fx, fy = camera.focal_x, camera.focal_y
+    jxx = fx * inv_z
+    jyy = fy * inv_z
+    jxz = -fx * txc * inv_z
+    jyz = -fy * tyc * inv_z
+    s2 = cache.scale * cache.scale
+    c_xx = s2 * (jxx * jxx + jxz * jxz) + 0.3
+    c_xy = s2 * (jxz * jyz)
+    c_yy = s2 * (jyy * jyy + jyz * jyz) + 0.3
+    det = c_xx * c_yy - c_xy * c_xy
+    det_ok = det != 0.0
+    det_inv = 1.0 / jnp.where(det_ok, det, 1.0)
+    conic = jnp.stack([c_yy * det_inv, -c_xy * det_inv, c_xx * det_inv], -1)
+
+    # exact current-pose rect culling (getRect, auxiliary.h:46-56)
+    mid = 0.5 * (c_xx + c_yy)
+    sq = jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
+    radius = jax.lax.stop_gradient(jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(mid + sq, mid - sq))))
+    xy_ng = jax.lax.stop_gradient(xy)
+    t_ids = jnp.arange(grid_y * grid_x, dtype=jnp.int32)
+    tx = (t_ids % grid_x)[:, None].astype(jnp.float32)
+    ty = (t_ids // grid_x)[:, None].astype(jnp.float32)
+    rminx = jnp.floor((xy_ng[..., 0] - radius) / tw)
+    rminy = jnp.floor((xy_ng[..., 1] - radius) / th)
+    rmaxx = jnp.floor((xy_ng[..., 0] + radius + tw - 1) / tw)
+    rmaxy = jnp.floor((xy_ng[..., 1] + radius + th - 1) / th)
+    rect_ok = (tx >= rminx) & (tx < rmaxx) & (ty >= rminy) & (ty < rmaxy)
+
+    valid = cache.slot_valid & in_front & det_ok & rect_ok
+    opa = jnp.where(valid, cache.opacity, 0.0)
+
+    acc, final_T, med = render_xla.blend_tiles(
+        xy, conic, opa, z, cache.colors, valid,
+        image_shape=(H, W), tile_shape=config.tile_shape, grid=grid,
+        chunk=config.gaussian_chunk, tile_batch=config.tile_batch,
+    )
+    return acc[:3], acc[-2], med, 1.0 - final_T, acc[-1]

@@ -12,6 +12,11 @@ block at a time:
 * all channel accumulation (RGB + depth + opacity-mass + semantic) is ONE
   matmul ``w @ features`` on the MXU.
 
+The blend consumes PRE-GATHERED per-tile arrays ([T, K, ...]) — the gather
+happens once per render through a scatter-free custom-VJP
+(hierslam_tpu.ops.gather_vjp), because XLA scatter (the default gather
+backward) is pathologically slow on TPU.
+
 Early-termination semantics match the CUDA kernel exactly:
 ``alpha = min(0.99, opa*exp(power))`` with the ``power > 0`` and
 ``alpha < 1/255`` skips (forward.cu:346-356), contribution committed only
@@ -47,13 +52,13 @@ MEDIAN_DEFAULT = 15.0
 
 
 def _blend_tile_batch(
-    idx_b: jax.Array,     # [B, K] int32, -1 padded
+    g_xy: jax.Array,      # [B, K, 2]
+    g_con: jax.Array,     # [B, K, 3]
+    g_opa: jax.Array,     # [B, K] (0 where slot invalid)
+    g_dep: jax.Array,     # [B, K]
+    g_feat: jax.Array,    # [B, K, C] blend features (last two cols: depth, ones)
+    g_ok: jax.Array,      # [B, K] slot validity
     tile_id_b: jax.Array,  # [B] int32
-    xy: jax.Array,        # [N, 2]
-    conic: jax.Array,     # [N, 3]
-    opacity: jax.Array,   # [N]
-    depth: jax.Array,     # [N]
-    feat: jax.Array,      # [N, C] blend features (last two cols: depth, ones)
     *,
     tile_shape: Tuple[int, int],
     grid_x: int,
@@ -61,16 +66,8 @@ def _blend_tile_batch(
 ):
     th, tw = tile_shape
     P = th * tw
-    B, K = idx_b.shape
-    C = feat.shape[1]
-
-    safe = jnp.maximum(idx_b, 0)
-    slot_valid = idx_b >= 0
-    g_xy = xy[safe]                                  # [B, K, 2]
-    g_con = conic[safe]                              # [B, K, 3]
-    g_opa = jnp.where(slot_valid, opacity[safe], 0.0)  # [B, K]
-    g_dep = depth[safe]                              # [B, K]
-    g_feat = feat[safe]                              # [B, K, C]
+    B, K = g_opa.shape
+    C = g_feat.shape[-1]
 
     ox = (tile_id_b % grid_x) * tw
     oy = (tile_id_b // grid_x) * th
@@ -88,7 +85,7 @@ def _blend_tile_batch(
         copa = jax.lax.dynamic_slice_in_dim(g_opa, lo, chunk, 1)
         cdep = jax.lax.dynamic_slice_in_dim(g_dep, lo, chunk, 1)
         cfeat = jax.lax.dynamic_slice_in_dim(g_feat, lo, chunk, 1)
-        cvalid = jax.lax.dynamic_slice_in_dim(slot_valid, lo, chunk, 1)
+        cvalid = jax.lax.dynamic_slice_in_dim(g_ok, lo, chunk, 1)
 
         dx = cxy[:, None, :, 0] - px[:, :, None]     # [B, P, G]
         dy = cxy[:, None, :, 1] - py[:, :, None]
@@ -126,13 +123,13 @@ def _blend_tile_batch(
     return acc, final_T, med
 
 
-def render_tiles(
-    tile_idx: jax.Array,   # [T, K]
-    xy: jax.Array,
-    conic: jax.Array,
-    opacity: jax.Array,
-    depth: jax.Array,
-    features: jax.Array,   # [N, F] (rgb [+ semantic])
+def blend_tiles(
+    g_xy: jax.Array,      # [T, K, 2]
+    g_conic: jax.Array,   # [T, K, 3]
+    g_opacity: jax.Array,  # [T, K]
+    g_depth: jax.Array,   # [T, K]
+    g_features: jax.Array,  # [T, K, F] (rgb [+ semantic])
+    g_valid: jax.Array,   # [T, K]
     *,
     image_shape: Tuple[int, int],
     tile_shape: Tuple[int, int],
@@ -140,25 +137,32 @@ def render_tiles(
     chunk: int = 256,
     tile_batch: int = 64,
 ):
-    """Composite all tiles; returns per-pixel (channels, final_T, median).
+    """Composite all tiles from pre-gathered per-tile arrays.
 
-    Output ``channels`` has layout [F + 2, H, W]: the F feature channels,
-    then alpha-blended depth, then accumulated weight mass
-    (``out_mask = sum alpha*T``, forward.cu:368,396).
+    Returns per-pixel ``(channels [F+2, H, W], final_T, median)`` — the F
+    feature channels, then alpha-blended depth, then accumulated weight
+    mass (``out_mask = sum alpha*T``, forward.cu:368,396).
     """
     H, W = image_shape
     th, tw = tile_shape
     grid_y, grid_x = grid
     T_tiles = grid_y * grid_x
-    F = features.shape[1]
+    F = g_features.shape[-1]
 
+    # append depth + ones columns so all channel accumulation is one matmul
     feat = jnp.concatenate(
-        [features, depth[:, None], jnp.ones_like(depth[:, None])], axis=1
-    )  # [N, F+2]
+        [g_features, g_depth[..., None], jnp.ones_like(g_depth[..., None])], axis=-1
+    )
 
     nb = (T_tiles + tile_batch - 1) // tile_batch
     T_pad = nb * tile_batch
-    idx_p = jnp.pad(tile_idx, ((0, T_pad - T_tiles), (0, 0)), constant_values=-1)
+
+    def pad_t(x, fill=0):
+        pads = [(0, T_pad - T_tiles)] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x, pads, constant_values=fill)
+
+    g_xy_p, g_con_p, g_opa_p = pad_t(g_xy), pad_t(g_conic), pad_t(g_opacity)
+    g_dep_p, feat_p, ok_p = pad_t(g_depth), pad_t(feat), pad_t(g_valid, False)
     tid_p = jnp.arange(T_pad, dtype=jnp.int32)
 
     body = functools.partial(
@@ -167,13 +171,15 @@ def render_tiles(
     body = jax.checkpoint(body)
 
     def scan_step(_, inp):
-        ib, tb = inp
-        return None, body(ib, tb, xy, conic, opacity, depth, feat)
+        return None, body(*inp)
 
     _, (acc, final_T, med) = jax.lax.scan(
         scan_step,
         None,
-        (idx_p.reshape(nb, tile_batch, -1), tid_p.reshape(nb, tile_batch)),
+        tuple(
+            x.reshape((nb, tile_batch) + x.shape[1:])
+            for x in (g_xy_p, g_con_p, g_opa_p, g_dep_p, feat_p, ok_p, tid_p)
+        ),
     )
     # [nb, B, P, C] -> [C, H, W]
     C = F + 2
@@ -187,3 +193,29 @@ def render_tiles(
         return x.reshape(grid_y * th, grid_x * tw)[:H, :W]
 
     return acc, to_img(final_T), to_img(med)
+
+
+def rect_recheck_mask(
+    tile_idx: jax.Array,   # [T, K]
+    rect_min: jax.Array,   # [N, 2] current-pose tile rects
+    rect_max: jax.Array,
+    valid: jax.Array,      # [N]
+    grid: Tuple[int, int],
+) -> jax.Array:
+    """Per-slot mask re-applying the CURRENT pose's tile-rect culling to
+    (possibly stale) cached tile lists, preserving the reference's
+    rect-culling semantics under amortized binning."""
+    grid_y, grid_x = grid
+    t_ids = jnp.arange(tile_idx.shape[0], dtype=jnp.int32)
+    tx = (t_ids % grid_x)[:, None]
+    ty = (t_ids // grid_x)[:, None]
+    safe = jnp.maximum(tile_idx, 0)
+    rmin = rect_min[safe]
+    rmax = rect_max[safe]
+    ok = (
+        (tile_idx >= 0)
+        & valid[safe]
+        & (tx >= rmin[..., 0]) & (tx < rmax[..., 0])
+        & (ty >= rmin[..., 1]) & (ty < rmax[..., 1])
+    )
+    return ok

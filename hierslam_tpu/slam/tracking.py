@@ -89,13 +89,26 @@ def make_tracker(
     lr_quat: float,
     lr_trans: float,
     num_iters: int,
+    use_cache: bool = True,
+    margin_px: float = 16.0,
 ):
     """Build the jitted per-frame tracking function (compiled once per run).
 
     Returns ``track(params, active, max_radius, im, depth, time_idx) ->
     (params, best_loss, max_radius, trace)`` with the best candidate pose
     already written into the trajectory.
+
+    ``use_cache`` (isotropic maps only) enables the pose-only fast path:
+    tile lists + per-tile Gaussian attributes are built once per frame at
+    the propagated initial pose (with a ``margin_px`` rect margin covering
+    in-frame pose drift); the 40-100 iteration scan is then pure dense math
+    with gradients reducing straight to the 7 pose dofs — no per-iteration
+    gather/scatter/sort.  The blend re-applies the exact current-pose rect
+    and frustum culling, so results match the fresh-binning renderer
+    wherever the margin holds.
     """
+    from hierslam_tpu.ops.rasterize import RenderOutput
+    from hierslam_tpu.ops.render_tracked import build_track_cache, render_tracked
 
     @jax.jit
     def track(
@@ -110,11 +123,25 @@ def make_tracker(
         q0 = params["cam_unnorm_rots"][0, :, t_idx]
         t0 = params["cam_trans"][0, :, t_idx]
 
-        def loss_fn(q, t):
-            out = render_gaussians(
-                params, active, q, t, camera, raster_cfg,
-                with_semantic=False, gaussians_grad=False, camera_grad=True,
+        cache = None
+        if use_cache:
+            cache = build_track_cache(
+                params, active, q0, t0, camera, raster_cfg, margin_px=margin_px
             )
+
+        def loss_fn(q, t):
+            if cache is not None:
+                im, dep, med, fo, mask = render_tracked(cache, q, t, camera, raster_cfg)
+                out = RenderOutput(
+                    im=im, radii=cache.radii0, depth=dep, median_depth=med,
+                    final_opacity=fo, mask=mask, semantic=None,
+                    n_dropped=cache.n_dropped, tile_count=None,
+                )
+            else:
+                out = render_gaussians(
+                    params, active, q, t, camera, raster_cfg,
+                    with_semantic=False, gaussians_grad=False, camera_grad=True,
+                )
             loss, parts = tracking_loss(out, im_gt, depth_gt, loss_cfg)
             return loss, (out.radii, parts["depth"], parts["im"])
 
