@@ -184,6 +184,19 @@ class SLAMRunner:
 
         self.keyframes = KeyframeStore()
         self.gt_w2c_all: List[np.ndarray] = []
+
+        from hierslam_tpu.utils.logging import RunLogger
+
+        self.logger = RunLogger(
+            self.output_dir, use_wandb=config.get("use_wandb", False),
+            wandb_cfg=config.get("wandb"),
+        )
+
+        # ---- resume (scripts/hierslam.py:1716-1752) ----------------------
+        self.start_idx = 0
+        if config.get("load_checkpoint", False):
+            self.start_idx = int(config["checkpoint_time_idx"])
+            self._resume(self.start_idx)
         self.stats = dict(
             tracking_iter_time_sum=0.0, tracking_iter_time_count=0,
             tracking_frame_time_sum=0.0, tracking_frame_time_count=0,
@@ -193,6 +206,50 @@ class SLAMRunner:
         )
 
     # ------------------------------------------------------------------
+    def _resume(self, ckpt_t: int):
+        """Reload params{t}.npz + keyframe indices, replay GT-pose
+        bookkeeping and rebuild the keyframe store by re-reading frames
+        (scripts/hierslam.py:1716-1752).  Like the reference, optimizer
+        moments and the aux variables are re-zeroed (approximate resume)."""
+        ckpt = uio.load_params(os.path.join(self.output_dir, f"params{ckpt_t}.npz"))
+        capacity = self.params["means3D"].shape[0]
+        n = ckpt["means3D"].shape[0]
+        if n > capacity:
+            raise ValueError(f"checkpoint has {n} gaussians > capacity {capacity}")
+        params = G.empty_params(capacity, self.num_frames, self.num_semantic)
+        for k in G.GAUSSIAN_KEYS:
+            if k in ckpt and k in params:
+                params[k] = params[k].at[:n].set(jnp.asarray(ckpt[k]))
+        params["cam_unnorm_rots"] = jnp.asarray(ckpt["cam_unnorm_rots"])
+        params["cam_trans"] = jnp.asarray(ckpt["cam_trans"])
+        self.params = params
+        variables = G.empty_variables(capacity)
+        variables["active"] = variables["active"].at[:n].set(True)
+        variables["n_active"] = jnp.asarray(n, jnp.int32)
+        variables["scene_radius"] = self.variables["scene_radius"]
+        if "timestep" in ckpt and ckpt["timestep"].shape[0] == n:
+            variables["timestep"] = variables["timestep"].at[:n].set(
+                jnp.asarray(ckpt["timestep"])
+            )
+        self.variables = variables
+
+        kf_idx = np.load(
+            os.path.join(self.output_dir, f"keyframe_time_indices{ckpt_t}.npy")
+        ).tolist()
+        dec = os.path.join(self.output_dir, f"semantic_decoder_{ckpt_t}.npz")
+        if self.use_mlp and os.path.isfile(dec):
+            loaded = uio.load_semantic_decoder(dec)
+            self.mlp = {k: jnp.asarray(v) for k, v in loaded.items()}
+            self.mlp_state = optim.adam_init(self.mlp)
+        for t in range(ckpt_t):
+            im_np, depth_np, label_np, gt_w2c = self._load_frame(t)
+            self.gt_w2c_all.append(gt_w2c)
+            if t in kf_idx:
+                self.keyframes.add(
+                    Keyframe(id=t, w2c=self._est_w2c(t), color=im_np,
+                             depth=depth_np, labels=label_np)
+                )
+
     def _load_frame(self, t: int):
         item = self.dataset[t]
         color, depth, _, pose = item[:4]
@@ -219,11 +276,11 @@ class SLAMRunner:
         return np.asarray(est_w2c(self.params, t))
 
     # ------------------------------------------------------------------
-    def step(self, time_idx: int):
+    def step(self, time_idx: int, frame=None):
         """Process one frame (tracking + optional densify/map/keyframe)."""
         cfg = self.config
         t = time_idx
-        im_np, depth_np, label_np, gt_w2c = self._load_frame(t)
+        im_np, depth_np, label_np, gt_w2c = frame if frame is not None else self._load_frame(t)
         self.gt_w2c_all.append(gt_w2c)
         im = jnp.asarray(im_np)
         depth = jnp.asarray(depth_np)
@@ -242,6 +299,7 @@ class SLAMRunner:
             )
             bloss.block_until_ready()
             self.variables["max_2D_radius"] = maxrad
+            self.logger.log(t, tracking_loss=float(bloss))
             n_it = cfg["tracking"]["num_iters"]
             dt = time.time() - t0
             self.stats["tracking_iter_time_sum"] += dt
@@ -286,6 +344,11 @@ class SLAMRunner:
                 self.params, self.variables, window, rand_idx, self.mlp, self.mlp_state
             )
             jax.block_until_ready(losses)
+            self.logger.log(
+                t,
+                mapping_loss=float(losses[-1]),
+                n_active=int(self.variables["n_active"]),
+            )
             dm = time.time() - m0
             self.stats["mapping_iter_time_sum"] += dm
             self.stats["mapping_iter_time_count"] += cfg["mapping"]["num_iters"]
@@ -342,15 +405,34 @@ class SLAMRunner:
             "n_active": int(jnp.sum(self.variables["active"])),
         }
 
+    def emergency_checkpoint(self, t: int):
+        """Save a recoverable snapshot on failure (the reference's
+        save_params_ckpt fallback, scripts/hierslam.py:1922-1925)."""
+        pn = G.active_params_to_numpy(self.params, self.variables)
+        uio.save_params_ckpt(pn, self.output_dir, t)
+        np.save(
+            os.path.join(self.output_dir, f"keyframe_time_indices{t}.npy"),
+            np.array(self.keyframes.time_indices),
+        )
+        uio.save_semantic_decoder(self.mlp, self.output_dir, suffix=f"_{t}")
+
     def run(self, progress: bool = True):
-        it = range(self.num_frames)
+        from hierslam_tpu.utils.prefetch import Prefetcher
+
+        frames = Prefetcher(self._load_frame, self.start_idx, self.num_frames, depth=2)
+        it = iter(frames)
         if progress:
             from tqdm import tqdm
 
-            it = tqdm(it, desc="hierslam-tpu")
-        for t in it:
-            self.step(t)
+            it = tqdm(it, total=self.num_frames - self.start_idx, desc="hierslam-tpu")
+        for t, frame in it:
+            try:
+                self.step(t, frame)
+            except Exception:
+                self.emergency_checkpoint(t)
+                raise
         pn = self.finalize()
+        self.logger.close()
         summ = self.runtime_summary()
         print(
             "Average Tracking/Iteration Time: {:.2f} ms\n"
