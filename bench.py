@@ -83,12 +83,10 @@ def main():
     im_gt = jax.block_until_ready(jnp.clip(out.im, 0, 1))
     depth_gt = out.depth
     dropped = int(out.n_dropped)
+    # 5 tree levels whose widths sum to the 26-dim embedding, + 102 leaves
+    sem_levels = (2, 3, 5, 7, 9)
     labels = np.concatenate(
-        [
-            rng.integers(0, n, (1, H, W))
-            for n in (7, 12, 20, 24, 39, 102)
-        ],
-        0,
+        [rng.integers(0, n, (1, H, W)) for n in sem_levels + (102,)], 0
     ).astype(np.int32)
 
     # ---- tracking ---------------------------------------------------------
@@ -106,17 +104,25 @@ def main():
         )
         jax.block_until_ready(bl)
 
+    import sys
+
+    t0 = time.time()
     run_track()  # compile
+    print(f"# tracking compile+run {time.time()-t0:.1f}s", file=sys.stderr, flush=True)
     t0 = time.time()
     reps = 3
     for _ in range(reps):
         run_track()
     track_frame_s = (time.time() - t0) / reps
+    print(
+        f"# tracking frame {track_frame_s:.3f}s ({track_frame_s/TRACK_ITERS*1e3:.1f} ms/iter)",
+        file=sys.stderr, flush=True,
+    )
 
     # ---- mapping ----------------------------------------------------------
     map_loss = LossConfig(
         use_sil_for_loss=False, sil_thres=0.5, w_im=0.5, w_depth=1.0, w_sem=0.2,
-        sem_levels=(7, 12, 20, 24, 39), num_leaf=102, use_mlp=True,
+        sem_levels=sem_levels, num_leaf=102, use_mlp=True,
     )
     lrs = dict(
         means3D=1e-4, rgb_colors=2.5e-3, unnorm_rotations=1e-3,
@@ -137,11 +143,14 @@ def main():
         p2, v2, m2, ms2, losses = mapper(params, variables, window, rand_idx, mlp, mlp_state)
         jax.block_until_ready(losses)
 
+    t0 = time.time()
     run_map()  # compile
+    print(f"# mapping compile+run {time.time()-t0:.1f}s", file=sys.stderr, flush=True)
     t0 = time.time()
     for _ in range(2):
         run_map()
     map_frame_s = (time.time() - t0) / 2
+    print(f"# mapping frame {map_frame_s:.3f}s", file=sys.stderr, flush=True)
 
     fps = 1.0 / (track_frame_s + map_frame_s / MAP_EVERY)
     result = {
