@@ -36,6 +36,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from hierslam_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from hierslam_tpu.core import gaussians as G
     from hierslam_tpu.core.camera import intrinsics_matrix, setup_camera
     from hierslam_tpu.ops.rasterize import RasterConfig

@@ -125,6 +125,7 @@ def rasterize(
     config: RasterConfig = RasterConfig(),
     pixel_offset_y=0.0,
     binning_cache: Optional[Binning] = None,
+    means2D_offset: Optional[jax.Array] = None,
 ) -> RenderOutput:
     """Rasterize N Gaussians into the camera.
 
@@ -170,8 +171,14 @@ def rasterize(
     # One fused gather of all per-gaussian blend quantities (custom VJP —
     # backward routes cotangents through the inverse map, never a scatter).
     feats = colors if semantics is None else jnp.concatenate([colors, semantics], axis=1)
+    xy = prep.xy
+    if means2D_offset is not None:
+        # zero-valued hook whose gradient is dL/d(screen-space mean) — the
+        # reference's retain_grad'ed dummy means2D (slam_helpers.py:119,
+        # scripts/hierslam.py:754) feeding classic densification.
+        xy = xy + means2D_offset
     table = jnp.concatenate(
-        [prep.xy, prep.conic, opacities[:, None], prep.depth[:, None], feats], axis=1
+        [xy, prep.conic, opacities[:, None], prep.depth[:, None], feats], axis=1
     )
     g = gather_rows(table, lists.idx, inverse.slots)
     g_xy, g_conic = g[..., 0:2], g[..., 2:5]

@@ -40,6 +40,9 @@ from hierslam_tpu.utils import io as uio
 
 class SLAMRunner:
     def __init__(self, config: Dict):
+        from hierslam_tpu.utils.cache import enable_compilation_cache
+
+        enable_compilation_cache(config.get("jax_cache_dir"))
         self.config = config = apply_defaults(config)
         uio.seed_everything(config["seed"])
         self.rng = np.random.default_rng(config["seed"])
