@@ -48,6 +48,8 @@ class RasterConfig:
     bin_chunk: int = 16384            # gaussians per binning scan step
     max_refs: int = 24                # R: per-gaussian (tile,slot) gradient routes
     max_tiles_per_gaussian: int = 32  # per-gaussian tile-emission capacity
+    backend: str = "pallas"           # blend backend: "pallas" (fused) | "xla"
+    pallas_interpret: bool = False    # interpret-mode Pallas (CPU debugging)
 
     def grid(self, height: int, width: int) -> Tuple[int, int]:
         th, tw = self.tile_shape
@@ -181,16 +183,26 @@ def rasterize(
         [xy, prep.conic, opacities[:, None], prep.depth[:, None], feats], axis=1
     )
     g = gather_rows(table, lists.idx, inverse.slots)
-    g_xy, g_conic = g[..., 0:2], g[..., 2:5]
-    g_opa = jnp.where(slot_ok, g[..., 5], 0.0)
-    g_depth = g[..., 6]
-    g_feat = g[..., 7:]
 
-    acc, final_T, med = render_xla.blend_tiles(
-        g_xy, g_conic, g_opa, g_depth, g_feat, slot_ok,
-        image_shape=(H, W), tile_shape=config.tile_shape, grid=grid,
-        chunk=config.gaussian_chunk, tile_batch=config.tile_batch,
-    )
+    if config.backend == "pallas":
+        from hierslam_tpu.ops.render_pallas import render_tiles_pallas
+
+        # interpret-mode automatically on CPU (tests / virtual meshes)
+        interp = config.pallas_interpret or jax.default_backend() == "cpu"
+        acc, final_T, med = render_tiles_pallas(
+            g, slot_ok, image_shape=(H, W), tile_shape=config.tile_shape,
+            grid=grid, interpret=interp,
+        )
+    else:
+        g_xy, g_conic = g[..., 0:2], g[..., 2:5]
+        g_opa = jnp.where(slot_ok, g[..., 5], 0.0)
+        g_depth = g[..., 6]
+        g_feat = g[..., 7:]
+        acc, final_T, med = render_xla.blend_tiles(
+            g_xy, g_conic, g_opa, g_depth, g_feat, slot_ok,
+            image_shape=(H, W), tile_shape=config.tile_shape, grid=grid,
+            chunk=config.gaussian_chunk, tile_batch=config.tile_batch,
+        )
 
     im = acc[:3]
     sem = acc[3 : 3 + semantics.shape[1]] if semantics is not None else None

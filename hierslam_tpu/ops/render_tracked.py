@@ -150,9 +150,21 @@ def render_tracked(
     valid = cache.slot_valid & in_front & det_ok & rect_ok
     opa = jnp.where(valid, cache.opacity, 0.0)
 
-    acc, final_T, med = render_xla.blend_tiles(
-        xy, conic, opa, z, cache.colors, valid,
-        image_shape=(H, W), tile_shape=config.tile_shape, grid=grid,
-        chunk=config.gaussian_chunk, tile_batch=config.tile_batch,
-    )
+    if config.backend == "pallas":
+        from hierslam_tpu.ops.render_pallas import render_tiles_pallas
+
+        table = jnp.concatenate(
+            [xy, conic, opa[..., None], z[..., None], cache.colors], axis=-1
+        )
+        interp = config.pallas_interpret or jax.default_backend() == "cpu"
+        acc, final_T, med = render_tiles_pallas(
+            table, valid, image_shape=(H, W), tile_shape=config.tile_shape,
+            grid=grid, interpret=interp,
+        )
+    else:
+        acc, final_T, med = render_xla.blend_tiles(
+            xy, conic, opa, z, cache.colors, valid,
+            image_shape=(H, W), tile_shape=config.tile_shape, grid=grid,
+            chunk=config.gaussian_chunk, tile_batch=config.tile_batch,
+        )
     return acc[:3], acc[-2], med, 1.0 - final_T, acc[-1]
