@@ -77,7 +77,7 @@ def main():
     variables["scene_radius"] = jnp.asarray(2.3, jnp.float32)
 
     camera = setup_camera(W, H, intrinsics_matrix(600.0, 600.0, 599.5, 339.5), np.eye(4))
-    rc = RasterConfig(max_per_tile=2048, gaussian_chunk=256, tile_batch=48)
+    rc = RasterConfig(max_per_tile=1024, gaussian_chunk=256, tile_batch=48)
 
     # GT frame = a render of the map itself.
     out = render_gaussians(
@@ -106,7 +106,7 @@ def main():
             params, variables["active"], variables["max_2D_radius"],
             im_gt, depth_gt, 1,
         )
-        jax.block_until_ready(bl)
+        return float(bl)  # scalar fetch = reliable completion fence
 
     import sys
 
@@ -145,7 +145,7 @@ def main():
 
     def run_map():
         p2, v2, m2, ms2, losses = mapper(params, variables, window, rand_idx, mlp, mlp_state)
-        jax.block_until_ready(losses)
+        return float(losses[-1])  # scalar fetch = reliable completion fence
 
     t0 = time.time()
     run_map()  # compile

@@ -56,6 +56,16 @@ def _pixel_grid(tile_id, tile_shape, grid_x):
     return px, py
 
 
+def _cumsum_last(x):
+    """Inclusive cumsum along the last axis as a triangular MXU matmul
+    (Mosaic has no native cumsum; [P,K] @ [K,K] upper-triangular ones)."""
+    k = x.shape[-1]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (k, k), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (k, k), 1)
+    tri = (rows <= cols).astype(x.dtype)
+    return jnp.dot(x, tri, preferred_element_type=jnp.float32)
+
+
 def _forward_core(table, ok, tile_id, tile_shape, grid_x, n_feat):
     """Shared [P,K] forward math.  table: [K, 7+F] f32; ok: [K] bool."""
     px, py = _pixel_grid(tile_id, tile_shape, grid_x)
@@ -72,18 +82,19 @@ def _forward_core(table, ok, tile_id, tile_shape, grid_x, n_feat):
     contrib = (power <= 0.0) & (alpha >= ALPHA_MIN) & ok[None, :]
     a = jnp.where(contrib, alpha, 0.0)
     logu = jnp.log1p(-a)
-    Ta = jnp.exp(jnp.cumsum(logu, axis=-1))          # T after each gaussian
-    Tb = jnp.exp(jnp.cumsum(logu, axis=-1) - logu)   # T before (exclusive)
+    cs = _cumsum_last(logu)
+    Ta = jnp.exp(cs)          # T after each gaussian
+    Tb = jnp.exp(cs - logu)   # T before (exclusive)
     committed = Ta >= T_DONE
     w = a * Tb * committed                           # [P, K]
     return dx, dy, power, alpha, contrib, a, Ta, Tb, committed, w
 
 
-def _fwd_kernel(table_ref, ok_ref, tid_ref, acc_ref, ft_ref, med_ref, *,
+def _fwd_kernel(table_ref, ok_ref, acc_ref, ft_ref, med_ref, *,
                 tile_shape, grid_x, n_feat):
     table = table_ref[0]
-    ok = ok_ref[0] != 0
-    tile_id = tid_ref[0]
+    ok = ok_ref[0, 0] != 0
+    tile_id = pl.program_id(0)
     dep = table[:, 6]
     (dx, dy, power, alpha, contrib, a, Ta, Tb, committed, w) = _forward_core(
         table, ok, tile_id, tile_shape, grid_x, n_feat
@@ -92,23 +103,23 @@ def _fwd_kernel(table_ref, ok_ref, tid_ref, acc_ref, ft_ref, med_ref, *,
         [table[:, 7:], dep[:, None], jnp.ones_like(dep[:, None])], axis=1
     )  # [K, F+2]
     acc_ref[0] = jnp.dot(w, feats, preferred_element_type=jnp.float32)
-    ft_ref[0] = jnp.min(jnp.where(committed, Ta, 1.0), axis=-1)
+    ft_ref[0, 0] = jnp.min(jnp.where(committed, Ta, 1.0), axis=-1)
     crossing = contrib & committed & (Tb > 0.5) & (Ta < 0.5)
-    med_ref[0] = jnp.where(
+    med_ref[0, 0] = jnp.where(
         jnp.any(crossing, -1),
         jnp.sum(jnp.where(crossing, dep[None, :], 0.0), -1),
         MEDIAN_DEFAULT,
     )
 
 
-def _bwd_kernel(table_ref, ok_ref, tid_ref, gacc_ref, gft_ref, gmed_ref,
+def _bwd_kernel(table_ref, ok_ref, gacc_ref, gft_ref, gmed_ref,
                 dtab_ref, *, tile_shape, grid_x, n_feat):
     table = table_ref[0]
-    ok = ok_ref[0] != 0
-    tile_id = tid_ref[0]
+    ok = ok_ref[0, 0] != 0
+    tile_id = pl.program_id(0)
     gacc = gacc_ref[0]        # [P, F+2]
-    gft = gft_ref[0]          # [P]
-    gmed = gmed_ref[0]        # [P]
+    gft = gft_ref[0, 0]       # [P]
+    gmed = gmed_ref[0, 0]     # [P]
     dep = table[:, 6]
     (dx, dy, power, alpha, contrib, a, Ta, Tb, committed, w) = _forward_core(
         table, ok, tile_id, tile_shape, grid_x, n_feat
@@ -119,7 +130,7 @@ def _bwd_kernel(table_ref, ok_ref, tid_ref, gacc_ref, gft_ref, gmed_ref,
     # s_i = gacc . f_i ; suffix sums S_i = sum_{j>i} s_j w_j
     s = jnp.dot(gacc, feats.T, preferred_element_type=jnp.float32)  # [P, K]
     sw = s * w
-    S = jnp.sum(sw, axis=-1, keepdims=True) - jnp.cumsum(sw, axis=-1)
+    S = jnp.sum(sw, axis=-1, keepdims=True) - _cumsum_last(sw)
     u = 1.0 - a
     T_final = jnp.min(jnp.where(committed, Ta, 1.0), axis=-1, keepdims=True)
     da = committed * contrib * (
@@ -167,30 +178,29 @@ def _run_fwd(table, ok, grid, tile_shape, interpret):
     th, tw = tile_shape
     P = th * tw
     grid_y, grid_x = grid
-    tids = jnp.arange(T, dtype=jnp.int32)
     kern = functools.partial(
         _fwd_kernel, tile_shape=tile_shape, grid_x=grid_x, n_feat=n_feat
     )
-    return pl.pallas_call(
+    acc, ft, med = pl.pallas_call(
         kern,
         grid=(T,),
         in_specs=[
             pl.BlockSpec((1, K, C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1,), lambda i: (i,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, K), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, P, n_feat + 2), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, P), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, P), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, P), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, P), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((T, P, n_feat + 2), jnp.float32),
-            jax.ShapeDtypeStruct((T, P), jnp.float32),
-            jax.ShapeDtypeStruct((T, P), jnp.float32),
+            jax.ShapeDtypeStruct((T, 1, P), jnp.float32),
+            jax.ShapeDtypeStruct((T, 1, P), jnp.float32),
         ],
         interpret=interpret,
-    )(table, ok.astype(jnp.int32), tids)
+    )(table, ok.astype(jnp.int32)[:, None, :])
+    return acc, ft[:, 0], med[:, 0]
 
 
 def _run_bwd(table, ok, gacc, gft, gmed, grid, tile_shape, interpret):
@@ -199,7 +209,6 @@ def _run_bwd(table, ok, gacc, gft, gmed, grid, tile_shape, interpret):
     th, tw = tile_shape
     P = th * tw
     grid_y, grid_x = grid
-    tids = jnp.arange(T, dtype=jnp.int32)
     kern = functools.partial(
         _bwd_kernel, tile_shape=tile_shape, grid_x=grid_x, n_feat=n_feat
     )
@@ -208,18 +217,18 @@ def _run_bwd(table, ok, gacc, gft, gmed, grid, tile_shape, interpret):
         grid=(T,),
         in_specs=[
             pl.BlockSpec((1, K, C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1,), lambda i: (i,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, K), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, P, n_feat + 2), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, P), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, P), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, P), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, P), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, K, C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[jax.ShapeDtypeStruct((T, K, C), jnp.float32)],
         interpret=interpret,
-    )(table, ok.astype(jnp.int32), tids, gacc, gft, gmed)[0]
+    )(table, ok.astype(jnp.int32)[:, None, :], gacc,
+      gft[:, None, :], gmed[:, None, :])[0]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
