@@ -176,7 +176,8 @@ def _bwd_kernel(tab_ref, ok_ref, gacc_ref, gft_ref, gmed_ref, dtab_ref, *,
     )
 
 
-TILE_BATCH = 8  # tiles per pallas grid step (amortizes per-step overheads)
+TILE_BATCH_FWD = 8   # tiles per grid step (amortizes per-step overheads)
+TILE_BATCH_BWD = 4   # backward holds more [P,K] temps; stay under the VMEM cap
 
 
 def _pad_tiles(x, t_pad, fill=0.0):
@@ -190,7 +191,7 @@ def _run_fwd(table, ok, grid, tile_shape, interpret):
     th, tw = tile_shape
     P = th * tw
     grid_y, grid_x = grid
-    tb = TILE_BATCH
+    tb = TILE_BATCH_FWD
     nsteps = (T + tb - 1) // tb
     t_pad = nsteps * tb
     tab_t = _pad_tiles(jnp.swapaxes(table, 1, 2), t_pad)  # [Tp, C, K]
@@ -226,7 +227,7 @@ def _run_bwd(table, ok, gacc, gft, gmed, grid, tile_shape, interpret):
     th, tw = tile_shape
     P = th * tw
     grid_y, grid_x = grid
-    tb = TILE_BATCH
+    tb = TILE_BATCH_BWD
     nsteps = (T + tb - 1) // tb
     t_pad = nsteps * tb
     tab_t = _pad_tiles(jnp.swapaxes(table, 1, 2), t_pad)
