@@ -46,8 +46,8 @@ class RasterConfig:
     gaussian_chunk: int = 256         # G: blend chunk along the Gaussian axis
     tile_batch: int = 64              # tiles composited per scan step
     bin_chunk: int = 16384            # gaussians per binning scan step
-    max_refs: int = 24                # R: per-gaussian (tile,slot) gradient routes
-    max_tiles_per_gaussian: int = 32  # per-gaussian tile-emission capacity
+    max_refs: int = 16                # R: per-gaussian (tile,slot) gradient routes
+    max_tiles_per_gaussian: int = 16  # per-gaussian tile-emission capacity
     backend: str = "pallas"           # blend backend: "pallas" (fused) | "xla"
     pallas_interpret: bool = False    # interpret-mode Pallas (CPU debugging)
 

@@ -176,8 +176,16 @@ def _bwd_kernel(tab_ref, ok_ref, gacc_ref, gft_ref, gmed_ref, dtab_ref, *,
     )
 
 
-TILE_BATCH_FWD = 8   # tiles per grid step (amortizes per-step overheads)
-TILE_BATCH_BWD = 4   # backward holds more [P,K] temps; stay under the VMEM cap
+def _tb_fwd(k):
+    # tiles per forward grid step: amortize per-step overhead while the
+    # ~10 [P,K] f32 temps stay under the 16MB VMEM cap
+    return max(1, min(8, 4096 // k))
+
+
+def _tb_bwd(k):
+    # backward holds ~15 [P,K] f32 temps (15MB at K=1024); single-tile
+    # steps above K=512, batched below
+    return 4 if k <= 512 else 1
 
 
 def _pad_tiles(x, t_pad, fill=0.0):
@@ -191,7 +199,7 @@ def _run_fwd(table, ok, grid, tile_shape, interpret):
     th, tw = tile_shape
     P = th * tw
     grid_y, grid_x = grid
-    tb = TILE_BATCH_FWD
+    tb = _tb_fwd(K)
     nsteps = (T + tb - 1) // tb
     t_pad = nsteps * tb
     tab_t = _pad_tiles(jnp.swapaxes(table, 1, 2), t_pad)  # [Tp, C, K]
@@ -227,7 +235,7 @@ def _run_bwd(table, ok, gacc, gft, gmed, grid, tile_shape, interpret):
     th, tw = tile_shape
     P = th * tw
     grid_y, grid_x = grid
-    tb = TILE_BATCH_BWD
+    tb = _tb_bwd(K)
     nsteps = (T + tb - 1) // tb
     t_pad = nsteps * tb
     tab_t = _pad_tiles(jnp.swapaxes(table, 1, 2), t_pad)

@@ -87,6 +87,7 @@ def render_gaussians(
     gaussians_grad: bool,
     camera_grad: bool,
     pixel_offset_y=0.0,
+    binning_cache=None,
 ) -> RenderOutput:
     """transform_to_frame + activation packing + rasterize.
 
@@ -117,6 +118,7 @@ def render_gaussians(
         active=active,
         config=raster_cfg,
         pixel_offset_y=pixel_offset_y,
+        binning_cache=binning_cache,
     )
 
 

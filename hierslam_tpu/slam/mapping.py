@@ -95,12 +95,19 @@ def make_mapper(
     num_iters: int,
     prune_cfg: PruneConfig,
     mlp_lr: float = 5e-4,
+    bin_margin_px: float = 8.0,
 ):
     """Build the jitted mapping-phase function.
 
     ``window`` is a dict of stacked device arrays over the selected
     keyframes: im [W,3,H,W], depth [W,H,W], labels [W,L+1,H,W] (optional),
     time_idx [W] int32.
+
+    Tile binning is AMORTIZED per phase: one binning per window frame is
+    built up-front with a ``bin_margin_px`` rect margin (Gaussian means
+    drift only ~lr*iters during a phase); the per-iteration render re-applies
+    the exact current-parameter rect/frustum culling, so semantics match
+    fresh binning up to the margin (see ops/rasterize.py).
     """
     with_sem = bool(loss_cfg.sem_levels)
 
@@ -124,6 +131,26 @@ def make_mapper(
         wq = jax.lax.stop_gradient(wq)
         wt = jax.lax.stop_gradient(wt)
 
+        # --- per-window-frame amortized binning (once per phase) ---------
+        from hierslam_tpu.core import transforms as _tf
+        from hierslam_tpu.ops.rasterize import compute_binning as _cb
+
+        sg_params = jax.lax.stop_gradient(params)
+        scales0 = jnp.exp(sg_params["log_scales"])
+
+        def bin_one(qt):
+            q, t_ = qt
+            means_cam, _ = _tf.transform_to_frame(
+                sg_params["means3D"], sg_params["unnorm_rotations"], q, t_,
+                gaussians_grad=False, camera_grad=False,
+            )
+            return _cb(
+                means_cam, scales0, sg_params["unnorm_rotations"], camera,
+                raster_cfg, active=variables["active"], margin_px=bin_margin_px,
+            )
+
+        binnings = jax.lax.map(bin_one, (wq, wt))  # pytree stacked [W, ...]
+
         def body(carry, it):
             gp, variables, opt, mlp, mlp_state = carry
             k = rand_idx[it]
@@ -131,6 +158,7 @@ def make_mapper(
             depth_gt = window["depth"][k]
             labels = window["labels"][k] if "labels" in window else None
             q, t = wq[k], wt[k]
+            bc = jax.tree_util.tree_map(lambda x: x[k], binnings)
 
             def loss_fn(gp_, mlp_):
                 full = dict(params)
@@ -138,6 +166,7 @@ def make_mapper(
                 out = render_gaussians(
                     full, variables["active"], q, t, camera, raster_cfg,
                     with_semantic=with_sem, gaussians_grad=True, camera_grad=False,
+                    binning_cache=bc,
                 )
                 loss, parts = mapping_loss(
                     out, im_gt, depth_gt, labels, mlp_, it, loss_cfg
