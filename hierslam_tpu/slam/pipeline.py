@@ -140,11 +140,15 @@ class SLAMRunner:
             w_im=tcfg["loss_weights"]["im"],
             w_depth=tcfg["loss_weights"]["depth"],
         )
+        # The pose-only cached fast path assumes isotropic covariance;
+        # anisotropic maps fall back to the general renderer per iteration.
+        isotropic = config.get("gaussian_distribution", "isotropic") == "isotropic"
         self.tracker = make_tracker(
             self.camera, track_loss, rc,
             lr_quat=tcfg["lrs"]["cam_unnorm_rots"],
             lr_trans=tcfg["lrs"]["cam_trans"],
             num_iters=tcfg["num_iters"],
+            use_cache=isotropic,
         )
 
         mcfg = config["mapping"]
@@ -300,6 +304,17 @@ class SLAMRunner:
                 self.params, self.variables["active"],
                 self.variables["max_2D_radius"], im, depth, t,
             )
+            # depth-loss escape hatch (scripts/hierslam.py:1877-1888): when
+            # enabled and the final depth loss is still above the threshold,
+            # run one extra tracking round (the reference doubles the
+            # iteration budget once; our extra round restarts Adam moments —
+            # noted divergence, the option is off in every shipped config).
+            if cfg["tracking"]["use_depth_loss_thres"]:
+                d_last = float(trace[1][-1])
+                if d_last >= cfg["tracking"]["depth_loss_thres"]:
+                    self.params, bloss, maxrad, trace = self.tracker(
+                        self.params, self.variables["active"], maxrad, im, depth, t,
+                    )
             bloss.block_until_ready()
             self.variables["max_2D_radius"] = maxrad
             self.logger.log(t, tracking_loss=float(bloss))
