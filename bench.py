@@ -102,7 +102,7 @@ def main():
     )
 
     def run_track():
-        p2, bl, mr, _ = tracker(
+        p2, bl, mr, _, _ = tracker(
             params, variables["active"], variables["max_2D_radius"],
             im_gt, depth_gt, 1,
         )

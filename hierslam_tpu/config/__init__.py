@@ -56,10 +56,15 @@ def apply_defaults(config: Dict) -> Dict:
 
 def raster_config(config: Dict) -> RasterConfig:
     r = config.get("raster", {})
+    mtg = r.get("max_tiles_per_gaussian", 16)
     return RasterConfig(
         tile_shape=tuple(r.get("tile_shape", (16, 16))),
         max_per_tile=r.get("max_per_tile", 1024),
         gaussian_chunk=r.get("gaussian_chunk", 256),
         tile_batch=r.get("tile_batch", 64),
         bin_chunk=r.get("bin_chunk", 16384),
+        max_tiles_per_gaussian=mtg,
+        # gradient routes must cover every emitted (tile, slot) pair
+        max_refs=r.get("max_refs", mtg),
+        backend=r.get("backend", "pallas"),
     )

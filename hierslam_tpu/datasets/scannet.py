@@ -80,7 +80,7 @@ class ScannetSemanticDataset(ScannetDataset):
             self.num_levels = 0
         elif self.sem_mode == "tree":
             tree_tsv = os.path.join(tsv_dir, "scannetv2-labels.combined.tree.tsv")
-            mapping, _ = tree_lib.load_scannet_tree(tree_tsv, levels=4, key="nyu40")
+            mapping, _, _ = tree_lib.load_scannet_tree(tree_tsv, levels=4, key="nyu40")
             self.tree_mapping = mapping
             counts = tree_lib.find_max_level(
                 {str(k): v for k, v in mapping.items()}, add_one=True
@@ -90,7 +90,9 @@ class ScannetSemanticDataset(ScannetDataset):
             self.num_levels = 4
         elif self.sem_mode == "tree_large":
             tree_tsv = os.path.join(tsv_dir, "scannetv2-labels.combined.tree-large.tsv")
-            mapping, _ = tree_lib.load_scannet_tree(tree_tsv, levels=5, key="raw")
+            mapping, _, names_by_id = tree_lib.load_scannet_tree(
+                tree_tsv, levels=5, key="raw"
+            )
             self.tree_mapping = mapping
             counts = tree_lib.find_max_level(
                 {str(k): v for k, v in mapping.items()}, add_one=True
@@ -98,6 +100,15 @@ class ScannetSemanticDataset(ScannetDataset):
             self.num_semantic = counts + [len(mapping)]
             self.num_semantic_class = len(mapping)
             self.num_levels = 5
+            # sparse raw-id eval protocol (scannet.py:211-216 in the
+            # reference): dense leaf index i <-> raw id semantic_id[i]
+            self.semantic_id = list(mapping.keys())
+            self.semantic_class = [names_by_id[k] for k in self.semantic_id]
+            # raw id -> dense leaf index LUT for label remapping
+            max_raw = max(self.semantic_id)
+            self._raw_to_dense = np.zeros(max_raw + 1, dtype=np.int64)
+            for i, k in enumerate(self.semantic_id):
+                self._raw_to_dense[k] = i
         else:
             raise ValueError(f"unknown sem_mode {self.sem_mode}")
         self.colour_map_np = NYU40_COLOUR_CODE
@@ -111,8 +122,14 @@ class ScannetSemanticDataset(ScannetDataset):
         raw = np.asarray(imageio.imread(self.label_paths[index]), dtype=np.int64)
         raw = self._preprocess_label(raw)
         if self.sem_mode == "tree_large":
-            # large tree keys raw ids directly
-            return tree_lib.remap_levels(raw, self.tree_mapping, self.num_levels)
+            # large tree keys raw ids directly; the LEAF row is the dense
+            # class index (so CE logits [num_leaf] index safely) — raw ids
+            # are recovered in eval via semantic_id[dense]
+            out = tree_lib.remap_levels(raw, self.tree_mapping, self.num_levels)
+            out[-1] = self._raw_to_dense[
+                np.clip(out[-1], 0, len(self._raw_to_dense) - 1)
+            ]
+            return out
         # raw -> nyu40
         lut = np.zeros(max(self.raw_to_nyu40.keys()) + 1, dtype=np.int64)
         for k, v in self.raw_to_nyu40.items():

@@ -134,6 +134,7 @@ def load_scannet_tree(tsv_path: str, levels: int = 4, key: str = "nyu40"):
     pairs = [(17 + 2 * i, 18 + 2 * i) for i in range(levels)]
     mapping: Dict[int, Tuple[int, ...]] = {}
     names: Dict[str, Tuple] = {}
+    names_by_id: Dict[int, str] = {}
     with open(tsv_path) as f:
         for i, line in enumerate(csv.reader(f, delimiter="\t")):
             if i == 0:
@@ -148,8 +149,9 @@ def load_scannet_tree(tsv_path: str, levels: int = 4, key: str = "nyu40"):
             mapping[k] = tuple(ids_filled)
             label_col = 7 if key == "nyu40" else 1
             names[line[label_col]] = tuple(level_names)
+            names_by_id[k] = line[label_col]
     mapping = dict(sorted(mapping.items()))
-    return mapping, names
+    return mapping, names, names_by_id
 
 
 NYU40_CLASS_NAMES = [

@@ -29,6 +29,28 @@ def masked_psnr(img: jax.Array, gt: jax.Array, mask: jax.Array) -> jax.Array:
     return 20 * jnp.log10(1.0 / jnp.sqrt(jnp.maximum(mse, 1e-12)))
 
 
+def reference_psnr(img: jax.Array, gt: jax.Array, mask: jax.Array) -> jax.Array:
+    """The reference's eval PSNR: calc_psnr on mask-WEIGHTED images
+    (utils/slam_external.py:49-51 called at eval_helpers.py:1263-1271) —
+    per-channel MSE over ALL pixels of the masked products (zeros outside
+    the mask count toward the denominator), PSNR averaged over channels."""
+    m = mask.astype(img.dtype)[None]
+    mse = jnp.mean((img * m - gt * m) ** 2, axis=(1, 2))
+    return jnp.mean(20 * jnp.log10(1.0 / jnp.sqrt(jnp.maximum(mse, 1e-12))))
+
+
+def reference_depth_metrics(depth: np.ndarray, gt: np.ndarray, mask: np.ndarray):
+    """(rmse, l1) with the reference's exact formulas
+    (eval_helpers.py:1282-1297): the rendered depth is pre-multiplied by the
+    valid mask, the difference re-masked, and BOTH stats are masked means of
+    the elementwise ``sqrt(diff^2)`` — i.e. the printed 'RMSE' is the same
+    masked mean-absolute-difference as L1 (sqrt of square is abs)."""
+    diff = np.abs(depth * mask - gt) * mask
+    denom = max(mask.sum(), 1)
+    v = float(diff.sum() / denom)
+    return v, v
+
+
 def _avgpool2(img: jax.Array) -> jax.Array:
     c, h, w = img.shape
     h2, w2 = h // 2, w // 2
@@ -103,22 +125,62 @@ def calculate_iou(mask1: np.ndarray, mask2: np.ndarray) -> float:
 
 class IoUAccumulator:
     """Per-class IoU/boundary-IoU accumulation across frames, skipping
-    classes absent in both prediction and GT (eval_helpers.py:1447-1496)."""
+    classes absent in both prediction and GT (eval_helpers.py:1447-1496).
+
+    ``class_ids`` may be dense (``range(num_classes)``) or the sparse raw
+    ``dataset.semantic_id`` list of the ScanNet tree_large protocol
+    (eval_helpers.py:1406-1444)."""
 
     def __init__(self):
         self.iou: Dict[int, List[float]] = {}
         self.biou: Dict[int, List[float]] = {}
 
-    def add_frame(self, pred_label: np.ndarray, gt_label: np.ndarray, class_ids):
-        for c in class_ids:
+    def add_frame(
+        self,
+        pred_label: np.ndarray,
+        gt_label: np.ndarray,
+        class_ids,
+        class_names=None,
+        verbose: bool = False,
+    ):
+        """Accumulate one frame; returns the per-frame summary
+        (frame_miou, frame_mbiou, per_class_iou, per_class_biou) — the
+        reference's per-frame overall_mean_iou (eval_helpers.py:1488-1496).
+
+        ``verbose`` reproduces the per-class stdout lines
+        (eval_helpers.py:1427-1443), with pixel counts for iou==0 classes.
+        """
+        f_iou: Dict[int, float] = {}
+        f_biou: Dict[int, float] = {}
+        counts: Dict[int, int] = {}
+        for idx, c in enumerate(class_ids):
             pm = pred_label == c
             gm = gt_label == c
             if not pm.any() and not gm.any():
                 continue
-            self.iou.setdefault(c, []).append(calculate_iou(gm, pm))
-            self.biou.setdefault(c, []).append(
-                boundary_iou(gm.astype(np.uint8), pm.astype(np.uint8))
-            )
+            iou = calculate_iou(gm, pm)
+            biou = boundary_iou(gm.astype(np.uint8), pm.astype(np.uint8))
+            self.iou.setdefault(c, []).append(iou)
+            self.biou.setdefault(c, []).append(biou)
+            f_iou[c] = iou
+            f_biou[c] = biou
+            counts[c] = len(self.iou[c])
+            if verbose:
+                name = class_names[idx] if class_names is not None else c
+                if iou == 0:
+                    print(
+                        f" semantic label {c} ({name}): iou: {iou:.3f}, "
+                        f"biou: {biou:.3f}, class_counts: {counts[c]}, "
+                        f"pixel num gt vs est: {gm.sum()} vs {pm.sum()}"
+                    )
+                else:
+                    print(
+                        f" semantic label {c} ({name}): iou: {iou:.3f}, "
+                        f"biou: {biou:.3f}, class_counts: {counts[c]}"
+                    )
+        f_miou = float(np.mean(list(f_iou.values()))) if f_iou else 0.0
+        f_mbiou = float(np.mean(list(f_biou.values()))) if f_biou else 0.0
+        return f_miou, f_mbiou, f_iou, f_biou
 
     def summary(self):
         miou_c = {c: float(np.mean(v)) for c, v in self.iou.items()}
@@ -128,23 +190,35 @@ class IoUAccumulator:
         return miou, mbiou, miou_c, mbiou_c
 
 
-def lpips_fn():
-    """Optional LPIPS (AlexNet).  Returns a callable or None when pretrained
-    weights are unavailable (zero-egress environments)."""
-    try:
-        import torch
-        from torchmetrics.image.lpip import LearnedPerceptualImagePatchSimilarity
+def eval_semantic_single(
+    pred_label: np.ndarray,
+    gt_label: np.ndarray,
+    class_ids,
+    class_names=None,
+    verbose: bool = True,
+):
+    """Single-frame per-class IoU/bIoU report (eval_semantic_single,
+    utils/eval_helpers.py:1865-1931): per-class scores over the classes
+    present in either image, with the reference's stdout lines."""
+    acc = IoUAccumulator()
+    miou, mbiou, per_iou, per_biou = acc.add_frame(
+        pred_label, gt_label, class_ids, class_names, verbose
+    )
+    if verbose:
+        num_wrong = sum(
+            (pred_label == c).sum() for c, v in per_iou.items() if v == 0
+        )
+        print(f"mean_iou: {miou:.4f}, mean_biou: {mbiou:.4f}")
+        print("num 0 worng is: ", num_wrong)  # sic — reference string
+    return miou, mbiou, per_iou, per_biou
 
-        metric = LearnedPerceptualImagePatchSimilarity(net_type="alex", normalize=True)
 
-        def compute(img, gt):
-            a = torch.tensor(np.asarray(img))[None]
-            b = torch.tensor(np.asarray(gt))[None]
-            return float(metric(a.clamp(0, 1), b.clamp(0, 1)))
+def lpips_fn(weights_path: Optional[str] = None):
+    """Optional LPIPS (AlexNet): pure-JAX forward from a local weights npz
+    (see hierslam_tpu.eval.lpips), falling back to torchmetrics, else None."""
+    from hierslam_tpu.eval.lpips import lpips_fn as _lpips
 
-        return compute
-    except Exception:
-        return None
+    return _lpips(weights_path)
 
 
 def decode_tree_labels(sem_img: np.ndarray, num_semantic: List[int]) -> np.ndarray:

@@ -106,6 +106,56 @@ def _build_renderer(camera, rc, with_semantic):
     return render
 
 
+def _depth_colormap(depth: np.ndarray, vmin: float = 0.0, vmax: float = 6.0) -> np.ndarray:
+    """JET-colormapped depth image (eval_helpers.py:1521-1525)."""
+    import cv2
+
+    normalized = np.clip((depth - vmin) / (vmax - vmin), 0, 1)
+    bgr = cv2.applyColorMap((normalized * 255).astype(np.uint8), cv2.COLORMAP_JET)
+    return bgr[..., ::-1]  # store as RGB
+
+
+def _save_frame_artifacts(
+    eval_dir: str, t: int, out, color_hwc: np.ndarray, depth_gt: np.ndarray,
+    pred_label=None, gt_label=None, colors_map=None,
+):
+    """Per-frame rendered/GT RGB, depth and semantic dumps
+    (eval_helpers.py:1518-1537, 1330-1340)."""
+    import imageio.v2 as imageio
+
+    dirs = {n: os.path.join(eval_dir, n) for n in
+            ("renders", "renders_depth", "rgb", "depth", "rendered_semantic")}
+    for d in dirs.values():
+        os.makedirs(d, exist_ok=True)
+    imageio.imwrite(
+        os.path.join(dirs["renders"], f"gs_{t:04d}.png"),
+        (np.clip(np.asarray(out.im).transpose(1, 2, 0), 0, 1) * 255).astype(np.uint8),
+    )
+    imageio.imwrite(
+        os.path.join(dirs["renders_depth"], f"gs_{t:04d}.png"),
+        _depth_colormap(np.asarray(out.depth)),
+    )
+    imageio.imwrite(
+        os.path.join(dirs["rgb"], f"gt_{t:04d}.png"),
+        np.clip(color_hwc, 0, 255).astype(np.uint8),
+    )
+    imageio.imwrite(
+        os.path.join(dirs["depth"], f"gt_{t:04d}.png"), _depth_colormap(depth_gt)
+    )
+    if pred_label is not None and colors_map is not None:
+        from hierslam_tpu.eval.semantic_viz import visualize_label
+
+        imageio.imwrite(
+            os.path.join(dirs["rendered_semantic"], f"sem_{t:04d}.png"),
+            visualize_label(pred_label, colors_map),
+        )
+        if gt_label is not None:
+            imageio.imwrite(
+                os.path.join(dirs["rendered_semantic"], f"sem_{t:04d}_gt.png"),
+                visualize_label(gt_label, colors_map),
+            )
+
+
 def run_final_eval(
     dataset,
     params_np: Dict[str, np.ndarray],
@@ -114,12 +164,18 @@ def run_final_eval(
     mlp: Optional[Dict] = None,
     num_frames: Optional[int] = None,
     save_frames: bool = False,
+    verbose_iou: bool = True,
 ) -> Dict[str, float]:
     os.makedirs(eval_dir, exist_ok=True)
     eval_every = config.get("eval_every", 5)
     num_frames = num_frames or len(dataset)
     semantic = hasattr(dataset, "num_semantic")
     tree_mode = semantic and isinstance(dataset.num_semantic, list)
+    gt_transfer = bool(config.get("model", {}).get("eval_gt_transfer", False))
+    # ScanNet tree_large: iterate the SPARSE semantic_id list
+    # (eval_helpers.py:1406-1444) instead of a dense class range.
+    sparse_ids = getattr(dataset, "semantic_id", None)
+    class_names = getattr(dataset, "semantic_class", None)
 
     first = dataset[0]
     _, depth0, K4, _ = first[:4]
@@ -143,10 +199,15 @@ def run_final_eval(
 
     psnrs, msssims, lpips_vals, d_rmse, d_l1 = [], [], [], [], []
     iou_acc = M.IoUAccumulator()
-    lpips = M.lpips_fn()
+    lpips = M.lpips_fn(config.get("lpips_weights"))
 
-    ms_ssim_j = jax.jit(M.ms_ssim)
-    psnr_j = jax.jit(M.masked_psnr)
+    # reference metric formulas: PSNR + MS-SSIM on valid-mask-WEIGHTED
+    # images (eval_helpers.py:1263-1274), depth stats as masked mean |diff|
+    ms_ssim_j = jax.jit(
+        lambda a, b, m: M.ms_ssim(a * m[None], b * m[None])
+    )
+    psnr_j = jax.jit(M.reference_psnr)
+    iou_txt = os.path.join(eval_dir, "sem_iou_2flat.txt")
 
     for t in range(num_frames):
         if t != 0 and (t + 1) % eval_every != 0:
@@ -158,11 +219,19 @@ def run_final_eval(
         out = render(gauss, t)
 
         valid = np.asarray(depth_gt) > 0
-        psnrs.append(float(psnr_j(out.im, im_gt, jnp.asarray(valid))))
-        msssims.append(float(ms_ssim_j(jnp.clip(out.im, 0, 1), im_gt)))
+        valid_j = jnp.asarray(valid)
+        psnrs.append(float(psnr_j(out.im, im_gt, valid_j)))
+        msssims.append(float(ms_ssim_j(jnp.clip(out.im, 0, 1), im_gt, valid_j)))
         if lpips is not None:
-            lpips_vals.append(lpips(np.clip(np.asarray(out.im), 0, 1), np.asarray(im_gt)))
-        rmse, l1 = M.depth_metrics(np.asarray(out.depth), np.asarray(depth_gt), valid)
+            lpips_vals.append(
+                lpips(
+                    np.clip(np.asarray(out.im) * valid[None], 0, 1),
+                    np.asarray(im_gt) * valid[None],
+                )
+            )
+        rmse, l1 = M.reference_depth_metrics(
+            np.asarray(out.depth), np.asarray(depth_gt), valid
+        )
         d_rmse.append(rmse)
         d_l1.append(l1)
 
@@ -183,17 +252,74 @@ def run_final_eval(
             n_cls = dataset.num_semantic_class if hasattr(dataset, "num_semantic_class") else (
                 dataset.num_semantic if not tree_mode else dataset.num_semantic[-1]
             )
-            iou_acc.add_frame(pred, gt_leaf, range(int(n_cls)))
+            if sparse_ids is not None:
+                # dense leaf index -> sparse raw id space for both pred & GT
+                sid = np.asarray(sparse_ids)
+                pred = sid[np.clip(pred, 0, len(sid) - 1)]
+                gt_leaf = sid[np.clip(gt_leaf, 0, len(sid) - 1)]
+                class_ids = list(sparse_ids)
+            else:
+                class_ids = list(range(int(n_cls)))
+            if gt_transfer:
+                # SGS-SLAM protocol (eval_helpers.py:1355-1396)
+                from hierslam_tpu.eval.semantic_viz import gt_transfer_labels
+
+                cmap = np.asarray(dataset.colors_map_all)
+                if sparse_ids is not None:
+                    # palette is indexed densely; transfer in dense space
+                    pred = gt_transfer_labels(
+                        np.searchsorted(np.asarray(sparse_ids), pred),
+                        np.searchsorted(np.asarray(sparse_ids), gt_leaf), cmap,
+                    )
+                    pred = np.asarray(sparse_ids)[np.clip(pred, 0, len(sparse_ids) - 1)]
+                else:
+                    pred = gt_transfer_labels(pred, gt_leaf, cmap)
+            if verbose_iou:
+                print(f"current frame is: {t}")
+            f_miou, f_mbiou, f_iou, f_biou = iou_acc.add_frame(
+                pred, gt_leaf, class_ids, class_names, verbose=verbose_iou,
+            )
+            if verbose_iou:
+                print(f"mean_iou: {f_miou:.4f}, mean_biou: {f_mbiou:.4f}")
+            # per-frame IoU log (sem_iou_2flat.txt, eval_helpers.py:1502-1509)
+            with open(iou_txt, "a") as f:
+                f.write(f"frame: {t}\n")
+                f.write(f"mean_iou: {f_miou:.4f}, mean_biou: {f_mbiou:.4f}\n")
+                f.write(f"mean_iou_per_class: {f_iou}\n")
+                f.write(f"mean_biou_per_class: {f_biou}\n\n")
 
         if save_frames:
-            import imageio.v2 as imageio
-
-            rd = os.path.join(eval_dir, "renders")
-            os.makedirs(rd, exist_ok=True)
-            imageio.imwrite(
-                os.path.join(rd, f"{t:04d}.png"),
-                (np.clip(np.asarray(out.im).transpose(1, 2, 0), 0, 1) * 255).astype(np.uint8),
+            _save_frame_artifacts(
+                eval_dir, t, out, np.asarray(color), np.asarray(depth_gt),
+                pred_label=(pred if semantic and out.semantic is not None else None),
+                gt_label=(gt_leaf if semantic and out.semantic is not None else None),
+                colors_map=(np.asarray(dataset.colors_map_all)
+                            if semantic and hasattr(dataset, "colors_map_all") else None),
             )
+
+    # --- qualitative semantic surface --------------------------------------
+    if semantic and tree_mode and save_frames:
+        from hierslam_tpu.eval.semantic_viz import plot_semantic_legend, show_semantic
+
+        try:
+            if hasattr(dataset, "colors_map_all"):
+                n_leaf = int(dataset.num_semantic[-1])
+                names = class_names or [str(i) for i in range(n_leaf)]
+                plot_semantic_legend(
+                    range(min(n_leaf, len(names))), names,
+                    np.asarray(dataset.colors_map_all), eval_dir,
+                    "semantic_class_Legend_leaf",
+                )
+
+            def render_sem(t):
+                return np.asarray(render(gauss, t).semantic)
+
+            show_semantic(
+                render_sem, dataset, num_frames, eval_dir, mlp=mlp_j,
+                frames=config.get("show_semantic_frames"),
+            )
+        except Exception as e:
+            print(f"show_semantic failed: {e}")
 
     # --- trajectory ATE ----------------------------------------------------
     try:

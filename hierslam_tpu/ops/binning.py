@@ -60,31 +60,35 @@ def bin_gaussians(
     k = max_per_tile
     r_cap = max_tiles_per_gaussian
 
-    # Depth rank (the radix key's depth bits): position in the depth order.
+    # Enumerate gaussians in DEPTH order, so pairs emitted row-major are
+    # already rank-ordered; one STABLE single-key sort by tile then yields
+    # exactly the (tile, depth-rank) order of the CUDA radix sort
+    # (rasterizer_impl.cu:70-111, 304-312) with 2 sort operands instead of 3.
     order = jnp.argsort(jnp.where(valid, depth, jnp.inf), stable=True).astype(jnp.int32)
-    rank = jnp.argsort(order, stable=True).astype(jnp.int32)  # inverse permutation
 
     w_rect = (rect_max[:, 0] - rect_min[:, 0]).astype(jnp.int32)
-    h_rect = (rect_max[:, 1] - rect_min[:, 1]).astype(jnp.int32)
-    touched = jnp.where(valid, w_rect * h_rect, 0)
-    n_dropped_emit = jnp.sum(jnp.maximum(touched - r_cap, 0))
+    touched_all = jnp.where(
+        valid, w_rect * (rect_max[:, 1] - rect_min[:, 1]).astype(jnp.int32), 0
+    )
+    n_dropped_emit = jnp.sum(jnp.maximum(touched_all - r_cap, 0))
 
+    # one [N]-row gather reorders the packed rect data by depth
+    packed = jnp.stack(
+        [rect_min[:, 0], rect_min[:, 1], jnp.maximum(w_rect, 1), touched_all], -1
+    )[order]
     r = jnp.arange(r_cap, dtype=jnp.int32)                    # [R]
-    safe_w = jnp.maximum(w_rect, 1)[:, None]
-    cell_x = rect_min[:, 0:1] + (r[None, :] % safe_w)
-    cell_y = rect_min[:, 1:2] + (r[None, :] // safe_w)
-    pair_tile = cell_y * grid_x + cell_x                      # [N, R]
-    pair_ok = valid[:, None] & (r[None, :] < touched[:, None])
+    safe_w = packed[:, 2:3]
+    cell_x = packed[:, 0:1] + (r[None, :] % safe_w)
+    cell_y = packed[:, 1:2] + (r[None, :] // safe_w)
+    pair_tile = cell_y * grid_x + cell_x                      # [N, R] (depth order)
+    pair_ok = r[None, :] < packed[:, 3:4]
     pair_tile = jnp.where(pair_ok, pair_tile, num_tiles).astype(jnp.int32)
 
     flat_tile = pair_tile.reshape(-1)
-    flat_rank = jnp.broadcast_to(rank[:, None], (n, r_cap)).reshape(-1)
-    flat_gauss = jnp.broadcast_to(
-        jnp.arange(n, dtype=jnp.int32)[:, None], (n, r_cap)
-    ).reshape(-1)
+    flat_gauss = jnp.broadcast_to(order[:, None], (n, r_cap)).reshape(-1)
 
-    s_tile, s_rank, s_gauss = jax.lax.sort(
-        (flat_tile, flat_rank, flat_gauss), num_keys=2
+    s_tile, s_gauss = jax.lax.sort(
+        (flat_tile, flat_gauss), num_keys=1, is_stable=True
     )
 
     tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)

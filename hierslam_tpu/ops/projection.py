@@ -64,21 +64,27 @@ def preprocess(
     """
     th, tw = tile_shape
     n = means3D.shape[0]
-    w2c = camera.w2c
-    full = camera.full_proj
+    w2c = jnp.asarray(camera.w2c)
+    full = jnp.asarray(camera.full_proj)
 
-    p_view = means3D @ w2c[:3, :3].T + w2c[:3, 3]
-    depth = p_view[:, 2]
+    # All per-gaussian math below is written in explicit elementwise form
+    # over [N] vectors: batched [N, 2, 3] @ [N, 3, 3] tiny matmuls lower to
+    # padded MXU ops that waste >90% of the array; the scalar expansion is
+    # pure VPU work that XLA fuses into a handful of kernels.
+    mx, my, mz = means3D[:, 0], means3D[:, 1], means3D[:, 2]
+
+    def apply_row(M, r):
+        return M[r, 0] * mx + M[r, 1] * my + M[r, 2] * mz + M[r, 3]
+
+    pv_x = apply_row(w2c, 0)
+    pv_y = apply_row(w2c, 1)
+    depth = apply_row(w2c, 2)
     in_frustum = depth > 0.2  # auxiliary.h:139-162 (near cull only)
 
-    p_hom = means3D @ full[:, :3].T + full[:, 3]
-    p_w = 1.0 / (p_hom[:, 3] + 1e-7)
-    p_proj = p_hom[:, :3] * p_w[:, None]
-
-    if cov3D_precomp is None:
-        cov3d = quat_scale_to_cov3d(rotations, scales, camera.scale_modifier)
-    else:
-        cov3d = cov3D_precomp
+    ph_x = apply_row(full, 0)
+    ph_y = apply_row(full, 1)
+    ph_w = apply_row(full, 3)
+    p_w = 1.0 / (ph_w + 1e-7)
 
     # EWA 2D covariance (forward.cu:74-113). The FoV clamp's zero-gradient
     # outside the limits reproduces the x_grad_mul factor of backward.cu:175.
@@ -86,26 +92,53 @@ def preprocess(
     limy = 1.3 * camera.tan_fovy
     tz = depth
     safe_tz = jnp.where(tz == 0, 1.0, tz)
-    tx = jnp.clip(p_view[:, 0] / safe_tz, -limx, limx) * tz
-    ty = jnp.clip(p_view[:, 1] / safe_tz, -limy, limy) * tz
     inv_z = 1.0 / safe_tz
     inv_z2 = inv_z * inv_z
+    tx = jnp.clip(pv_x * inv_z, -limx, limx) * tz
+    ty = jnp.clip(pv_y * inv_z, -limy, limy) * tz
     fx, fy = camera.focal_x, camera.focal_y
-    zeros = jnp.zeros_like(tz)
-    # J: 2x3 Jacobian of the perspective projection at the (clamped) mean.
-    J = jnp.stack(
-        [
-            jnp.stack([fx * inv_z, zeros, -fx * tx * inv_z2], -1),
-            jnp.stack([zeros, fy * inv_z, -fy * ty * inv_z2], -1),
-        ],
-        -2,
-    )  # [N, 2, 3]
+    # J rows (2x3 projection Jacobian at the clamped mean):
+    #   J0 = [fx/z, 0, -fx tx/z^2],  J1 = [0, fy/z, -fy ty/z^2]
+    j00 = fx * inv_z
+    j02 = -fx * tx * inv_z2
+    j11 = fy * inv_z
+    j12 = -fy * ty * inv_z2
+    # T = J @ W rows as [N] triples
     W = w2c[:3, :3]
-    T = J @ W  # [N, 2, 3]
-    cov2d = T @ cov3d @ jnp.swapaxes(T, -1, -2)  # [N, 2, 2]
-    c_xx = cov2d[:, 0, 0] + 0.3
-    c_xy = cov2d[:, 0, 1]
-    c_yy = cov2d[:, 1, 1] + 0.3
+    t0 = [j00 * W[0, c] + j02 * W[2, c] for c in range(3)]
+    t1 = [j11 * W[1, c] + j12 * W[2, c] for c in range(3)]
+
+    if cov3D_precomp is None:
+        # cov2d = T cov3d T^T with cov3d = (R S)(R S)^T:
+        # u = T0 R S, v = T1 R S -> c_xx = u.u, c_xy = u.v, c_yy = v.v
+        from hierslam_tpu.core.transforms import normalize as _qnorm
+
+        q = _qnorm(rotations)
+        qr, qx, qy, qz = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+        R = [
+            [1 - 2 * (qy * qy + qz * qz), 2 * (qx * qy - qr * qz), 2 * (qx * qz + qr * qy)],
+            [2 * (qx * qy + qr * qz), 1 - 2 * (qx * qx + qz * qz), 2 * (qy * qz - qr * qx)],
+            [2 * (qx * qz - qr * qy), 2 * (qy * qz + qr * qx), 1 - 2 * (qx * qx + qy * qy)],
+        ]
+        s = [camera.scale_modifier * scales[:, c] for c in range(3)]
+        u = [(t0[0] * R[0][c] + t0[1] * R[1][c] + t0[2] * R[2][c]) * s[c] for c in range(3)]
+        v = [(t1[0] * R[0][c] + t1[1] * R[1][c] + t1[2] * R[2][c]) * s[c] for c in range(3)]
+        c_xx = u[0] * u[0] + u[1] * u[1] + u[2] * u[2] + 0.3
+        c_xy = u[0] * v[0] + u[1] * v[1] + u[2] * v[2]
+        c_yy = v[0] * v[0] + v[1] * v[1] + v[2] * v[2] + 0.3
+    else:
+        cov3d = cov3D_precomp
+        a0 = [
+            t0[0] * cov3d[:, 0, c] + t0[1] * cov3d[:, 1, c] + t0[2] * cov3d[:, 2, c]
+            for c in range(3)
+        ]
+        c_xx = a0[0] * t0[0] + a0[1] * t0[1] + a0[2] * t0[2] + 0.3
+        c_xy = a0[0] * t1[0] + a0[1] * t1[1] + a0[2] * t1[2]
+        b1 = [
+            t1[0] * cov3d[:, 0, c] + t1[1] * cov3d[:, 1, c] + t1[2] * cov3d[:, 2, c]
+            for c in range(3)
+        ]
+        c_yy = b1[0] * t1[0] + b1[1] * t1[1] + b1[2] * t1[2] + 0.3
 
     det = c_xx * c_yy - c_xy * c_xy
     det_valid = det != 0.0
@@ -126,8 +159,8 @@ def preprocess(
     orig_h = camera.proj_height or camera.height
     xy = jnp.stack(
         [
-            ndc2pix(p_proj[:, 0], camera.width),
-            ndc2pix(p_proj[:, 1], orig_h) - pixel_offset_y,
+            ndc2pix(ph_x * p_w, camera.width),
+            ndc2pix(ph_y * p_w, orig_h) - pixel_offset_y,
         ],
         -1,
     )

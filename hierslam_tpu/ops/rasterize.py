@@ -46,10 +46,16 @@ class RasterConfig:
     gaussian_chunk: int = 256         # G: blend chunk along the Gaussian axis
     tile_batch: int = 64              # tiles composited per scan step
     bin_chunk: int = 16384            # gaussians per binning scan step
-    max_refs: int = 16                # R: per-gaussian (tile,slot) gradient routes
+    max_refs: int = 16                # DEPRECATED: unused — the segmented-scan
+                                      # backward routes gradients exactly for
+                                      # any number of per-gaussian references
     max_tiles_per_gaussian: int = 16  # per-gaussian tile-emission capacity
     backend: str = "pallas"           # blend backend: "pallas" (fused) | "xla"
     pallas_interpret: bool = False    # interpret-mode Pallas (CPU debugging)
+
+    def __post_init__(self):
+        if self.backend not in ("pallas", "xla"):
+            raise ValueError(f"unknown blend backend {self.backend!r}")
 
     def grid(self, height: int, width: int) -> Tuple[int, int]:
         th, tw = self.tile_shape
@@ -71,6 +77,10 @@ class RenderOutput(NamedTuple):
     semantic: Optional[jax.Array]  # [S, H, W] or None
     n_dropped: jax.Array          # [] int32 binning overflow count
     tile_count: jax.Array         # [T] int32 per-tile gaussian counts
+    # inverse-map gradient-route drops (0 whenever max_refs >=
+    # max_tiles_per_gaussian, enforced at RasterConfig construction);
+    # None for cached-tracking renders that bypass the inverse map.
+    n_grad_dropped: Optional[jax.Array] = None
 
 
 def _normalize_inputs(opacities, scales):
@@ -111,7 +121,9 @@ def compute_binning(
         chunk=config.bin_chunk,
         max_tiles_per_gaussian=config.max_tiles_per_gaussian,
     )
-    inverse = build_inverse_map(lists.idx, means3D.shape[0], config.max_refs)
+    inverse = build_inverse_map(
+        lists.idx, means3D.shape[0], config.max_tiles_per_gaussian
+    )
     return Binning(lists=lists, inverse=inverse)
 
 
@@ -160,18 +172,18 @@ def rasterize(
             chunk=config.bin_chunk,
             max_tiles_per_gaussian=config.max_tiles_per_gaussian,
         )
-        inverse = build_inverse_map(lists.idx, means3D.shape[0], config.max_refs)
+        inverse = build_inverse_map(
+        lists.idx, means3D.shape[0], config.max_tiles_per_gaussian
+    )
     else:
         lists, inverse = binning_cache
 
-    # Current-pose rect re-check (no-op for fresh binning; restores exact
-    # rect-culling semantics for amortized lists).
-    slot_ok = render_xla.rect_recheck_mask(
-        lists.idx, prep.rect_min, prep.rect_max, prep.valid, grid
-    )
-
     # One fused gather of all per-gaussian blend quantities (custom VJP —
     # backward routes cotangents through the inverse map, never a scatter).
+    # The current-pose rect-culling data rides the SAME gather as extra
+    # columns (row-gathers cost ~20ns/row regardless of width): the per-slot
+    # re-check is then pure dense math — no second gather.  (No-op for fresh
+    # binning; restores exact rect semantics for amortized lists.)
     feats = colors if semantics is None else jnp.concatenate([colors, semantics], axis=1)
     xy = prep.xy
     if means2D_offset is not None:
@@ -179,10 +191,37 @@ def rasterize(
         # reference's retain_grad'ed dummy means2D (slam_helpers.py:119,
         # scripts/hierslam.py:754) feeding classic densification.
         xy = xy + means2D_offset
-    table = jnp.concatenate(
-        [xy, prep.conic, opacities[:, None], prep.depth[:, None], feats], axis=1
+    rect_cols = jax.lax.stop_gradient(
+        jnp.concatenate(
+            [
+                prep.rect_min.astype(jnp.float32),
+                prep.rect_max.astype(jnp.float32),
+                prep.valid.astype(jnp.float32)[:, None],
+            ],
+            axis=1,
+        )
     )
-    g = gather_rows(table, lists.idx, inverse.slots)
+    c_main = 7 + feats.shape[1]
+    table = jnp.concatenate(
+        [xy, prep.conic, opacities[:, None], prep.depth[:, None], feats, rect_cols],
+        axis=1,
+    )
+    g_all = gather_rows(
+        table, lists.idx, inverse.spos, inverse.skey, inverse.starts,
+        inverse.n_ref, config.max_tiles_per_gaussian,
+    )
+    g = g_all[..., :c_main]
+    g_rect = jax.lax.stop_gradient(g_all[..., c_main:])
+    t_ids = jnp.arange(lists.idx.shape[0], dtype=jnp.int32)
+    grid_y, grid_x = grid
+    tx = (t_ids % grid_x).astype(jnp.float32)[:, None]
+    ty = (t_ids // grid_x).astype(jnp.float32)[:, None]
+    slot_ok = (
+        (lists.idx >= 0)
+        & (g_rect[..., 4] > 0.5)
+        & (tx >= g_rect[..., 0]) & (tx < g_rect[..., 2])
+        & (ty >= g_rect[..., 1]) & (ty < g_rect[..., 3])
+    )
 
     if config.backend == "pallas":
         from hierslam_tpu.ops.render_pallas import render_tiles_pallas
@@ -191,7 +230,7 @@ def rasterize(
         interp = config.pallas_interpret or jax.default_backend() == "cpu"
         acc, final_T, med = render_tiles_pallas(
             g, slot_ok, image_shape=(H, W), tile_shape=config.tile_shape,
-            grid=grid, interpret=interp,
+            grid=grid, interpret=interp, chunk=config.gaussian_chunk,
         )
     else:
         g_xy, g_conic = g[..., 0:2], g[..., 2:5]
@@ -219,4 +258,6 @@ def rasterize(
         semantic=sem,
         n_dropped=lists.n_dropped,
         tile_count=lists.count,
+        # the segmented-scan backward is exact for any cap configuration
+        n_grad_dropped=jnp.zeros((), jnp.int32),
     )

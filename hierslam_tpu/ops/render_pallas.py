@@ -59,8 +59,39 @@ def _cumsum_lanes(x):
     return jnp.dot(x, tri, preferred_element_type=jnp.float32)
 
 
-def _forward_core(tab, ok, tile_id, tile_shape, grid_x):
-    """Shared [P, K] forward math.  tab: [C, K] f32; ok: [K] bool (as [1,K])."""
+def _chunk_core(tab_c, ok_c, logT, px, py):
+    """Per-chunk blend math.  tab_c: [C, Q]; ok_c: [1, Q]; logT: [P, 1]
+    log-transmittance entering the chunk.  Returns the per-chunk values
+    plus the updated logT."""
+    xy_x = tab_c[0:1]    # [1, Q]
+    xy_y = tab_c[1:2]
+    c_a = tab_c[2:3]
+    c_b = tab_c[3:4]
+    c_c = tab_c[4:5]
+    opa = tab_c[5:6]
+    dx = xy_x - px                                       # [P, Q]
+    dy = xy_y - py
+    power = -0.5 * (c_a * dx * dx + c_c * dy * dy) - c_b * dx * dy
+    alpha = jnp.minimum(ALPHA_MAX, opa * jnp.exp(power))
+    contrib = (power <= 0.0) & (alpha >= ALPHA_MIN) & ok_c
+    a = jnp.where(contrib, alpha, 0.0)
+    logu = jnp.log1p(-a)
+    cs = _cumsum_lanes(logu)
+    Ta = jnp.exp(logT + cs)          # T after each gaussian
+    Tb = jnp.exp(logT + cs - logu)   # T before (exclusive)
+    committed = Ta >= T_DONE
+    w = a * Tb * committed                               # [P, Q]
+    logT_next = logT + cs[:, -1:]
+    return dx, dy, power, alpha, contrib, a, Ta, Tb, committed, w, logT_next
+
+
+def _feats_t(tab_c):
+    """[F+2, Q]: feature rows + depth row + ones row."""
+    dep = tab_c[6:7]
+    return jnp.concatenate([tab_c[7:], dep, jnp.ones_like(dep)], axis=0)
+
+
+def _pixel_grid(tile_id, tile_shape, grid_x):
     th, tw = tile_shape
     P = th * tw
     ox = (tile_id % grid_x) * tw
@@ -68,124 +99,135 @@ def _forward_core(tab, ok, tile_id, tile_shape, grid_x):
     lin = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
     px = (ox + lin % tw).astype(jnp.float32)            # [P, 1]
     py = (oy + lin // tw).astype(jnp.float32)
-
-    xy_x = tab[0:1]    # [1, K]
-    xy_y = tab[1:2]
-    c_a = tab[2:3]
-    c_b = tab[3:4]
-    c_c = tab[4:5]
-    opa = tab[5:6]
-    dx = xy_x - px                                       # [P, K]
-    dy = xy_y - py
-    power = -0.5 * (c_a * dx * dx + c_c * dy * dy) - c_b * dx * dy
-    alpha = jnp.minimum(ALPHA_MAX, opa * jnp.exp(power))
-    contrib = (power <= 0.0) & (alpha >= ALPHA_MIN) & ok
-    a = jnp.where(contrib, alpha, 0.0)
-    logu = jnp.log1p(-a)
-    cs = _cumsum_lanes(logu)
-    Ta = jnp.exp(cs)          # T after each gaussian
-    Tb = jnp.exp(cs - logu)   # T before (exclusive)
-    committed = Ta >= T_DONE
-    w = a * Tb * committed                               # [P, K]
-    return dx, dy, power, alpha, contrib, a, Ta, Tb, committed, w
-
-
-def _feats_t(tab):
-    """[F+2, K]: feature rows + depth row + ones row."""
-    dep = tab[6:7]
-    return jnp.concatenate([tab[7:], dep, jnp.ones_like(dep)], axis=0)
+    return px, py
 
 
 def _fwd_kernel(tab_ref, ok_ref, acc_ref, ft_ref, med_ref, *, tile_shape,
-                grid_x, tile_batch):
-    # tile_batch tiles per grid step amortizes per-step overhead
+                grid_x, tile_batch, chunk):
+    # tile_batch tiles per grid step amortizes per-step overhead; the K axis
+    # is processed in chunks of `chunk` with carried log-transmittance, so
+    # VMEM stays bounded for any K (and the triangular cumsum matmul cost
+    # is K*Q instead of K^2 per pixel row).
+    K = tab_ref.shape[-1]
+    n_ch = (K + chunk - 1) // chunk
+    th, tw = tile_shape
+    P = th * tw
     for j in range(tile_batch):
-        tab = tab_ref[j]                  # [C, K]
-        ok = ok_ref[j, 0:1] != 0          # [1, K]
         tile_id = pl.program_id(0) * tile_batch + j
-        (dx, dy, power, alpha, contrib, a, Ta, Tb, committed, w) = _forward_core(
-            tab, ok, tile_id, tile_shape, grid_x
-        )
-        feats = _feats_t(tab)             # [F+2, K]
-        acc_ref[j] = jax.lax.dot_general(
-            w, feats, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        ft_ref[j, 0] = jnp.min(jnp.where(committed, Ta, 1.0), axis=-1)
-        dep = tab[6:7]
-        crossing = contrib & committed & (Tb > 0.5) & (Ta < 0.5)
-        med_ref[j, 0] = jnp.where(
-            jnp.any(crossing, -1),
-            jnp.sum(jnp.where(crossing, dep, 0.0), -1),
-            MEDIAN_DEFAULT,
-        )
+        px, py = _pixel_grid(tile_id, tile_shape, grid_x)
+        logT = jnp.zeros((P, 1), jnp.float32)
+        acc = jnp.zeros((P, tab_ref.shape[1] - 7 + 2), jnp.float32)
+        ft = jnp.ones((P,), jnp.float32)
+        med_sum = jnp.zeros((P,), jnp.float32)
+        med_found = jnp.zeros((P,), jnp.bool_)
+        for c in range(n_ch):
+            tab = tab_ref[j, :, c * chunk:(c + 1) * chunk]    # [C, Q]
+            ok = ok_ref[j, 0:1, c * chunk:(c + 1) * chunk] != 0
+            (dx, dy, power, alpha, contrib, a, Ta, Tb, committed, w,
+             logT) = _chunk_core(tab, ok, logT, px, py)
+            feats = _feats_t(tab)             # [F+2, Q]
+            acc = acc + jax.lax.dot_general(
+                w, feats, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            ft = jnp.minimum(ft, jnp.min(jnp.where(committed, Ta, 1.0), axis=-1))
+            dep = tab[6:7]
+            crossing = contrib & committed & (Tb > 0.5) & (Ta < 0.5)
+            med_sum = med_sum + jnp.sum(jnp.where(crossing, dep, 0.0), -1)
+            med_found = med_found | jnp.any(crossing, -1)
+        acc_ref[j] = acc
+        ft_ref[j, 0] = ft
+        med_ref[j, 0] = jnp.where(med_found, med_sum, MEDIAN_DEFAULT)
 
 
 def _bwd_kernel(tab_ref, ok_ref, gacc_ref, gft_ref, gmed_ref, dtab_ref, *,
-                tile_shape, grid_x, tile_batch):
+                tile_shape, grid_x, tile_batch, chunk):
+  K = tab_ref.shape[-1]
+  n_ch = (K + chunk - 1) // chunk
+  th, tw = tile_shape
+  P = th * tw
   for j in range(tile_batch):
-    tab = tab_ref[j]                  # [C, K]
-    ok = ok_ref[j, 0:1] != 0
     tile_id = pl.program_id(0) * tile_batch + j
+    px, py = _pixel_grid(tile_id, tile_shape, grid_x)
     gacc = gacc_ref[j]                # [P, F+2]
     gft = gft_ref[j]                  # [P, 1]
     gmed = gmed_ref[j]                # [P, 1]
-    (dx, dy, power, alpha, contrib, a, Ta, Tb, committed, w) = _forward_core(
-        tab, ok, tile_id, tile_shape, grid_x
-    )
-    feats = _feats_t(tab)             # [F+2, K]
-    # s_i = gacc . f_i ; suffix sums S_i = sum_{j>i} s_j w_j
-    s = jax.lax.dot_general(
-        gacc, feats, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )                                  # [P, K]
-    sw = s * w
-    S = jnp.sum(sw, axis=-1, keepdims=True) - _cumsum_lanes(sw)
-    u = 1.0 - a
-    T_final = jnp.min(jnp.where(committed, Ta, 1.0), axis=-1, keepdims=True)
-    da = committed * contrib * (s * Tb - (S + gft * T_final) / u)
-    # alpha = min(0.99, opa e^p): the clamp kills the gradient
-    live = (alpha < ALPHA_MAX) & contrib
-    dopa_pix = jnp.where(live, jnp.exp(power) * da, 0.0)     # [P, K]
-    dpow = jnp.where(live, alpha * da, 0.0)
 
-    def colsum(x):  # [P, K] -> [1, K]
-        return jnp.sum(x, axis=0, keepdims=True)
+    # pass 1 (front-to-back): per-chunk entry log-transmittance + T_final
+    logTs = [jnp.zeros((P, 1), jnp.float32)]
+    T_final = jnp.ones((P, 1), jnp.float32)
+    for c in range(n_ch):
+        tab = tab_ref[j, :, c * chunk:(c + 1) * chunk]
+        ok = ok_ref[j, 0:1, c * chunk:(c + 1) * chunk] != 0
+        (_, _, _, _, _, _, Ta, _, committed, _, logT_next) = _chunk_core(
+            tab, ok, logTs[-1], px, py
+        )
+        T_final = jnp.minimum(
+            T_final, jnp.min(jnp.where(committed, Ta, 1.0), axis=-1, keepdims=True)
+        )
+        logTs.append(logT_next)
 
-    c_a = tab[2:3]
-    c_b = tab[3:4]
-    d_x = colsum(dpow * (-(c_a * dx + c_b * dy)))
-    c_c = tab[4:5]
-    d_y = colsum(dpow * (-(c_c * dy + c_b * dx)))
-    d_ca = colsum(-0.5 * dx * dx * dpow)
-    d_cb = colsum(-dx * dy * dpow)
-    d_cc = colsum(-0.5 * dy * dy * dpow)
-    d_opa = colsum(dopa_pix)
+    # pass 2 (back-to-front): global suffix sums via the carried S
+    S_carry = jnp.zeros((P, 1), jnp.float32)
+    for c in reversed(range(n_ch)):
+        tab = tab_ref[j, :, c * chunk:(c + 1) * chunk]
+        ok = ok_ref[j, 0:1, c * chunk:(c + 1) * chunk] != 0
+        (dx, dy, power, alpha, contrib, a, Ta, Tb, committed, w,
+         _) = _chunk_core(tab, ok, logTs[c], px, py)
+        feats = _feats_t(tab)             # [F+2, Q]
+        # s_i = gacc . f_i ; suffix sums S_i = sum_{j>i} s_j w_j (global)
+        s = jax.lax.dot_general(
+            gacc, feats, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                  # [P, Q]
+        sw = s * w
+        sw_tot = jnp.sum(sw, axis=-1, keepdims=True)
+        S = sw_tot - _cumsum_lanes(sw) + S_carry
+        S_carry = S_carry + sw_tot
+        u = 1.0 - a
+        da = committed * contrib * (s * Tb - (S + gft * T_final) / u)
+        # alpha = min(0.99, opa e^p): the clamp kills the gradient
+        live = (alpha < ALPHA_MAX) & contrib
+        dopa_pix = jnp.where(live, jnp.exp(power) * da, 0.0)     # [P, Q]
+        dpow = jnp.where(live, alpha * da, 0.0)
 
-    # dfeats_t[ch, k] = sum_p gacc[p, ch] w[p, k]
-    dfeats = jax.lax.dot_general(
-        gacc, w, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )                                  # [F+2, K]
-    n_feat = tab.shape[0] - 7
-    crossing = contrib & committed & (Tb > 0.5) & (Ta < 0.5)
-    d_dep = dfeats[n_feat : n_feat + 1] + colsum(crossing * gmed)
+        def colsum(x):  # [P, Q] -> [1, Q]
+            return jnp.sum(x, axis=0, keepdims=True)
 
-    dtab_ref[j] = jnp.concatenate(
-        [d_x, d_y, d_ca, d_cb, d_cc, d_opa, d_dep, dfeats[:n_feat]], axis=0
-    )
+        c_a = tab[2:3]
+        c_b = tab[3:4]
+        d_x = colsum(dpow * (-(c_a * dx + c_b * dy)))
+        c_c = tab[4:5]
+        d_y = colsum(dpow * (-(c_c * dy + c_b * dx)))
+        d_ca = colsum(-0.5 * dx * dx * dpow)
+        d_cb = colsum(-dx * dy * dpow)
+        d_cc = colsum(-0.5 * dy * dy * dpow)
+        d_opa = colsum(dopa_pix)
+
+        # dfeats_t[ch, q] = sum_p gacc[p, ch] w[p, q]
+        dfeats = jax.lax.dot_general(
+            gacc, w, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                  # [F+2, Q]
+        n_feat = tab.shape[0] - 7
+        crossing = contrib & committed & (Tb > 0.5) & (Ta < 0.5)
+        d_dep = dfeats[n_feat : n_feat + 1] + colsum(crossing * gmed)
+
+        dtab_ref[j, :, c * chunk:(c + 1) * chunk] = jnp.concatenate(
+            [d_x, d_y, d_ca, d_cb, d_cc, d_opa, d_dep, dfeats[:n_feat]], axis=0
+        )
 
 
-def _tb_fwd(k):
-    # tiles per forward grid step: amortize per-step overhead while the
-    # ~10 [P,K] f32 temps stay under the 16MB VMEM cap
-    return max(1, min(8, 4096 // k))
+def _tb_fwd(k, q):
+    # tiles per forward grid step: the live temps are per-CHUNK ([P, Q]),
+    # so the batch is sized by Q, not K; the [C, K] table block itself is
+    # small (~300KB at K=2048)
+    return max(1, min(8, 2048 // q))
 
 
-def _tb_bwd(k):
-    # backward holds ~15 [P,K] f32 temps (15MB at K=1024); single-tile
-    # steps above K=512, batched below
-    return 4 if k <= 512 else 1
+def _tb_bwd(k, q):
+    # backward holds ~15 [P, Q] f32 temps per chunk (~4MB at Q=256)
+    return max(1, min(4, 1024 // q))
 
 
 def _pad_tiles(x, t_pad, fill=0.0):
@@ -193,19 +235,27 @@ def _pad_tiles(x, t_pad, fill=0.0):
     return jnp.pad(x, pads, constant_values=fill)
 
 
-def _run_fwd(table, ok, grid, tile_shape, interpret):
+def _chunk_q(k, chunk):
+    q = min(k, chunk)
+    # K must divide into equal chunks; fall back to K itself otherwise
+    return q if k % q == 0 else k
+
+
+def _run_fwd(table, ok, grid, tile_shape, interpret, chunk=256):
     T, K, C = table.shape
     n_feat = C - 7
     th, tw = tile_shape
     P = th * tw
     grid_y, grid_x = grid
-    tb = _tb_fwd(K)
+    q = _chunk_q(K, chunk)
+    tb = _tb_fwd(K, q)
     nsteps = (T + tb - 1) // tb
     t_pad = nsteps * tb
     tab_t = _pad_tiles(jnp.swapaxes(table, 1, 2), t_pad)  # [Tp, C, K]
     okp = _pad_tiles(ok.astype(jnp.int32)[:, None, :], t_pad)
     kern = functools.partial(
-        _fwd_kernel, tile_shape=tile_shape, grid_x=grid_x, tile_batch=tb
+        _fwd_kernel, tile_shape=tile_shape, grid_x=grid_x, tile_batch=tb,
+        chunk=q,
     )
     acc, ft, med = pl.pallas_call(
         kern,
@@ -229,19 +279,21 @@ def _run_fwd(table, ok, grid, tile_shape, interpret):
     return acc[:T], ft[:T, 0], med[:T, 0]
 
 
-def _run_bwd(table, ok, gacc, gft, gmed, grid, tile_shape, interpret):
+def _run_bwd(table, ok, gacc, gft, gmed, grid, tile_shape, interpret, chunk=256):
     T, K, C = table.shape
     n_feat = C - 7
     th, tw = tile_shape
     P = th * tw
     grid_y, grid_x = grid
-    tb = _tb_bwd(K)
+    q = _chunk_q(K, chunk)
+    tb = _tb_bwd(K, q)
     nsteps = (T + tb - 1) // tb
     t_pad = nsteps * tb
     tab_t = _pad_tiles(jnp.swapaxes(table, 1, 2), t_pad)
     okp = _pad_tiles(ok.astype(jnp.int32)[:, None, :], t_pad)
     kern = functools.partial(
-        _bwd_kernel, tile_shape=tile_shape, grid_x=grid_x, tile_batch=tb
+        _bwd_kernel, tile_shape=tile_shape, grid_x=grid_x, tile_batch=tb,
+        chunk=q,
     )
     dtab_t = pl.pallas_call(
         kern,
@@ -263,22 +315,22 @@ def _run_bwd(table, ok, gacc, gft, gmed, grid, tile_shape, interpret):
     return jnp.swapaxes(dtab_t[:T], 1, 2)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
-def blend_tiles_pallas(table, ok, grid, tile_shape, interpret=False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def blend_tiles_pallas(table, ok, grid, tile_shape, interpret=False, chunk=256):
     """Fused tile blend.  table [T,K,7+F], ok [T,K] bool ->
     (acc [T,P,F+2], final_T [T,P], med [T,P])."""
-    return tuple(_run_fwd(table, ok, grid, tile_shape, interpret))
+    return tuple(_run_fwd(table, ok, grid, tile_shape, interpret, chunk))
 
 
-def _blend_fwd(table, ok, grid, tile_shape, interpret):
-    out = _run_fwd(table, ok, grid, tile_shape, interpret)
+def _blend_fwd(table, ok, grid, tile_shape, interpret, chunk):
+    out = _run_fwd(table, ok, grid, tile_shape, interpret, chunk)
     return tuple(out), (table, ok)
 
 
-def _blend_bwd(grid, tile_shape, interpret, res, cots):
+def _blend_bwd(grid, tile_shape, interpret, chunk, res, cots):
     table, ok = res
     gacc, gft, gmed = cots
-    dtab = _run_bwd(table, ok, gacc, gft, gmed, grid, tile_shape, interpret)
+    dtab = _run_bwd(table, ok, gacc, gft, gmed, grid, tile_shape, interpret, chunk)
     return dtab, None
 
 
@@ -293,13 +345,14 @@ def render_tiles_pallas(
     tile_shape: Tuple[int, int],
     grid: Tuple[int, int],
     interpret: bool = False,
+    chunk: int = 256,
 ):
     """blend_tiles-compatible wrapper: returns (channels [F+2,H,W],
     final_T [H,W], median [H,W])."""
     H, W = image_shape
     th, tw = tile_shape
     grid_y, grid_x = grid
-    acc, ft, med = blend_tiles_pallas(table, slot_ok, grid, tile_shape, interpret)
+    acc, ft, med = blend_tiles_pallas(table, slot_ok, grid, tile_shape, interpret, chunk)
     C = acc.shape[-1]
     acc = acc.reshape(grid_y, grid_x, th, tw, C).transpose(4, 0, 2, 1, 3)
     acc = acc.reshape(C, grid_y * th, grid_x * tw)[:, :H, :W]

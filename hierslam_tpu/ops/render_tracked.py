@@ -159,7 +159,7 @@ def render_tracked(
         interp = config.pallas_interpret or jax.default_backend() == "cpu"
         acc, final_T, med = render_tiles_pallas(
             table, valid, image_shape=(H, W), tile_shape=config.tile_shape,
-            grid=grid, interpret=interp,
+            grid=grid, interpret=interp, chunk=config.gaussian_chunk,
         )
     else:
         acc, final_T, med = render_xla.blend_tiles(

@@ -22,14 +22,27 @@ def _window(window_size: int, sigma: float) -> np.ndarray:
 
 
 def _filter(img: jax.Array, win: jax.Array) -> jax.Array:
-    """Depthwise 2D filter.  img: [C, H, W]."""
+    """Depthwise 2D Gaussian filter.  img: [C, H, W].
+
+    The 2D window is an outer product of the 1D Gaussian, so the filter is
+    applied SEPARABLY (two 1D depthwise convs, 2k taps instead of k^2) —
+    identical math to the reference's dense conv2d up to fp summation
+    order."""
     c = img.shape[0]
-    lhs = img[None]  # [1, C, H, W]
-    rhs = jnp.broadcast_to(win[None, None], (c, 1, win.shape[0], win.shape[1]))
-    return jax.lax.conv_general_dilated(
-        lhs, rhs, (1, 1), "SAME", feature_group_count=c,
+    k = win.shape[0]
+    g1 = jnp.sum(win, axis=1)  # the 1D kernel (win = outer(g, g), sum=g)
+    lhs = img[None]
+    rv = jnp.broadcast_to(g1[None, None, :, None], (c, 1, k, 1))
+    rh = jnp.broadcast_to(g1[None, None, None, :], (c, 1, 1, k))
+    out = jax.lax.conv_general_dilated(
+        lhs, rv, (1, 1), [(k // 2, k // 2), (0, 0)], feature_group_count=c,
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
-    )[0]
+    )
+    out = jax.lax.conv_general_dilated(
+        out, rh, (1, 1), [(0, 0), (k // 2, k // 2)], feature_group_count=c,
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )
+    return out[0]
 
 
 def calc_ssim(img1: jax.Array, img2: jax.Array, window_size: int = 11) -> jax.Array:

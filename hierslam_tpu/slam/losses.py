@@ -59,6 +59,22 @@ def cross_entropy_mean(logits: jax.Array, labels: jax.Array) -> jax.Array:
     return -jnp.mean(picked)
 
 
+def cross_entropy_mean_cmajor(logits: jax.Array, labels: jax.Array) -> jax.Array:
+    """Mean cross-entropy with CHANNEL-MAJOR logits [C, H, W] (the native
+    render layout) and int labels [H, W].
+
+    Identical math to :func:`cross_entropy_mean` but gather-free: the label
+    pick is a masked channel reduction.  TPU row-gathers cost ~20ns/row, so
+    a per-pixel ``take_along_axis`` (H*W rows) would dominate the whole
+    mapping loss stack; this form is pure VPU work."""
+    lab = labels.astype(jnp.int32)[None]
+    m = jnp.max(logits, axis=0, keepdims=True)
+    lse = jnp.log(jnp.sum(jnp.exp(logits - m), axis=0)) + m[0]
+    cls = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 0)
+    picked = jnp.sum(jnp.where(cls == lab, logits, 0.0), axis=0)
+    return jnp.mean(lse - picked)
+
+
 def mlp_apply(mlp: Params, sem_img: jax.Array) -> jax.Array:
     """1x1 conv decoder: [S, H, W] -> [L, H, W]
     (torch.nn.Conv2d(num_semantic, num_leaf, 1), scripts/hierslam.py:1756)."""
@@ -174,13 +190,13 @@ def mapping_loss(
         level_loss = 0.0
         off = 0
         for i, n_cls in enumerate(cfg.sem_levels):
-            logits = sem_img[off : off + n_cls].reshape(n_cls, -1).T
-            level_loss = level_loss + cross_entropy_mean(logits, labels_gt[i].reshape(-1))
+            level_loss = level_loss + cross_entropy_mean_cmajor(
+                sem_img[off : off + n_cls], labels_gt[i]
+            )
             off += n_cls
         sem_loss = cfg.weight_sem_level * level_loss
         if cfg.use_mlp and mlp is not None:
-            leaf_logits = mlp_apply(mlp, sem_img).reshape(cfg.num_leaf, -1).T
-            leaf_ce = cross_entropy_mean(leaf_logits, labels_gt[-1].reshape(-1))
+            leaf_ce = cross_entropy_mean_cmajor(mlp_apply(mlp, sem_img), labels_gt[-1])
             gate = (jnp.asarray(iter_idx) >= cfg.mlp_gate_iter).astype(jnp.float32)
             sem_loss = sem_loss + cfg.weight_sem_leaf * gate * leaf_ce
         losses["sem"] = sem_loss

@@ -74,6 +74,7 @@ def make_densifier(camera, raster_cfg: RasterConfig, sil_thres: float, num_seman
         params, variables, n_over = G.insert_gaussians(
             params, variables, fields, mask, time_idx.astype(jnp.float32)
         )
+        n_bin_dropped = out.n_dropped
         # Reference re-zeroes the densify bookkeeping for ALL gaussians on
         # every densification (scripts/hierslam.py:1345-1348).
         variables = dict(variables)
@@ -82,7 +83,7 @@ def make_densifier(camera, raster_cfg: RasterConfig, sil_thres: float, num_seman
         )
         variables["denom"] = jnp.zeros_like(variables["denom"])
         variables["max_2D_radius"] = jnp.zeros_like(variables["max_2D_radius"])
-        return params, variables, jnp.sum(mask.astype(jnp.int32)), n_over
+        return params, variables, jnp.sum(mask.astype(jnp.int32)), n_over, n_bin_dropped
 
     return densify
 
@@ -149,7 +150,10 @@ def make_mapper(
                 raster_cfg, active=variables["active"], margin_px=bin_margin_px,
             )
 
-        binnings = jax.lax.map(bin_one, (wq, wt))  # pytree stacked [W, ...]
+        # One BATCHED binning over all window frames: the per-frame sorts
+        # fuse into one [W, N*R] batched sort kernel, amortizing per-sort
+        # overhead across the window (vs a sequential lax.map).
+        binnings = jax.vmap(bin_one)((wq, wt))  # pytree stacked [W, ...]
 
         def body(carry, it):
             gp, variables, opt, mlp, mlp_state = carry

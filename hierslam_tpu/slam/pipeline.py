@@ -199,6 +199,13 @@ class SLAMRunner:
             wandb_cfg=config.get("wandb"),
         )
 
+        # online progress reporting (report_progress_newrender call sites,
+        # scripts/hierslam.py:1896-1925, 2086-2104)
+        from hierslam_tpu.eval.runner import _build_renderer
+
+        self._progress_render = _build_renderer(self.camera, rc, with_semantic=False)
+        self.plot_dir = os.path.join(self.eval_dir, "plots")
+
         # ---- resume (scripts/hierslam.py:1716-1752) ----------------------
         self.start_idx = 0
         if config.get("load_checkpoint", False):
@@ -210,6 +217,10 @@ class SLAMRunner:
             mapping_iter_time_sum=0.0, mapping_iter_time_count=0,
             mapping_frame_time_sum=0.0, mapping_frame_time_count=0,
             densify_added=0, densify_overflow=0,
+            bin_overflow_last=0, bin_overflow_max=0,
+        )
+        self.overflow_warn_threshold = int(
+            self.config.get("raster", {}).get("overflow_warn_threshold", 100_000)
         )
 
     # ------------------------------------------------------------------
@@ -300,20 +311,23 @@ class SLAMRunner:
         # (A) tracking
         t0 = time.time()
         if t > 0 and not cfg["tracking"]["use_gt_poses"]:
-            self.params, bloss, maxrad, trace = self.tracker(
+            self.params, bloss, maxrad, trace, carry = self.tracker(
                 self.params, self.variables["active"],
                 self.variables["max_2D_radius"], im, depth, t,
             )
             # depth-loss escape hatch (scripts/hierslam.py:1877-1888): when
             # enabled and the final depth loss is still above the threshold,
-            # run one extra tracking round (the reference doubles the
-            # iteration budget once; our extra round restarts Adam moments —
-            # noted divergence, the option is off in every shipped config).
+            # the iteration budget is doubled once — continuing the SAME
+            # Adam run (moments, step count and best-candidate bookkeeping
+            # carry over into the extra round).
             if cfg["tracking"]["use_depth_loss_thres"]:
                 d_last = float(trace[1][-1])
                 if d_last >= cfg["tracking"]["depth_loss_thres"]:
-                    self.params, bloss, maxrad, trace = self.tracker(
-                        self.params, self.variables["active"], maxrad, im, depth, t,
+                    self.params, bloss, maxrad, trace, carry = (
+                        self.tracker.continue_round(
+                            self.params, self.variables["active"],
+                            im, depth, t, carry,
+                        )
                     )
             bloss.block_until_ready()
             self.variables["max_2D_radius"] = maxrad
@@ -327,16 +341,37 @@ class SLAMRunner:
         self.stats["tracking_frame_time_sum"] += time.time() - t0
         self.stats["tracking_frame_time_count"] += 1
 
+        if t == 0 or (t + 1) % cfg["report_global_progress_every"] == 0:
+            self._report_progress(
+                t, im, depth, phase="tracking",
+                sil_thres=cfg["tracking"]["sil_thres"],
+            )
+
         # (B) densify + mapping
         if t == 0 or (t + 1) % cfg["map_every"] == 0:
             m0 = time.time()
             if cfg["mapping"].get("add_new_gaussians", True) and t > 0:
                 self.key, sub = jax.random.split(self.key)
-                self.params, self.variables, n_added, n_over = self.densifier(
+                self.params, self.variables, n_added, n_over, n_bin_drop = self.densifier(
                     self.params, self.variables, im, depth, jnp.asarray(t), sub
                 )
                 self.stats["densify_added"] += int(n_added)
                 self.stats["densify_overflow"] += int(n_over)
+                n_bin_drop = int(n_bin_drop)
+                self.stats["bin_overflow_last"] = n_bin_drop
+                self.stats["bin_overflow_max"] = max(
+                    self.stats["bin_overflow_max"], n_bin_drop
+                )
+                if n_bin_drop > self.overflow_warn_threshold:
+                    import warnings
+
+                    warnings.warn(
+                        f"frame {t}: {n_bin_drop} (gaussian, tile) pairs dropped "
+                        f"by binning caps (max_per_tile={self.rc.max_per_tile}, "
+                        f"max_tiles_per_gaussian={self.rc.max_tiles_per_gaussian}) "
+                        "— consider raising raster.max_per_tile"
+                    )
+                self.logger.log(t, bin_overflow=n_bin_drop)
 
             est_w2c = self._est_w2c(t)
             num_kf = cfg["mapping_window_size"] - 2
@@ -373,6 +408,12 @@ class SLAMRunner:
             self.stats["mapping_frame_time_sum"] += dm
             self.stats["mapping_frame_time_count"] += 1
 
+            if t == 0 or (t + 1) % cfg["report_global_progress_every"] == 0:
+                self._report_progress(
+                    t, im, depth, phase="mapping",
+                    sil_thres=cfg["mapping"]["sil_thres"],
+                )
+
         # (C) keyframe admission
         if (
             (t == 0 or (t + 1) % cfg["keyframe_every"] == 0 or t == self.num_frames - 2)
@@ -394,6 +435,23 @@ class SLAMRunner:
                 np.array(self.keyframes.time_indices),
             )
             uio.save_semantic_decoder(self.mlp, self.output_dir, suffix=f"_{t}")
+
+    # ------------------------------------------------------------------
+    def _report_progress(self, t, im, depth, phase: str, sil_thres: float):
+        """Periodic qualitative/quantitative progress report; failure saves
+        an emergency checkpoint and continues, matching the reference's
+        try/except (scripts/hierslam.py:1911-1925, 2086-2104)."""
+        from hierslam_tpu.eval.progress import report_progress
+
+        try:
+            report_progress(
+                self._progress_render, self.params, im, depth, t,
+                self.gt_w2c_all, sil_thres, self.plot_dir, phase=phase,
+                save_plot=True, wandb_run=self.logger.wandb, logger=self.logger,
+            )
+        except Exception:
+            self.emergency_checkpoint(t)
+            print("Failed to evaluate trajectory.")
 
     # ------------------------------------------------------------------
     def finalize(self) -> Dict[str, np.ndarray]:
@@ -420,6 +478,8 @@ class SLAMRunner:
             "mapping_frame_s": avg("mapping_frame_time_sum", "mapping_frame_time_count"),
             "densify_added": s["densify_added"],
             "densify_overflow": s["densify_overflow"],
+            "bin_overflow_last": s["bin_overflow_last"],
+            "bin_overflow_max": s["bin_overflow_max"],
             "n_active": int(jnp.sum(self.variables["active"])),
         }
 
@@ -451,6 +511,15 @@ class SLAMRunner:
                 raise
         pn = self.finalize()
         self.logger.close()
+        try:  # metrics.png (utils/eval_helpers.py:1623-1646)
+            from hierslam_tpu.utils.logging import plot_metrics
+
+            plot_metrics(
+                self.logger.path, os.path.join(self.eval_dir, "metrics.png"),
+                keys=("tracking_loss", "mapping_loss", "n_active"),
+            )
+        except Exception as e:
+            print(f"metrics plot failed: {e}")
         summ = self.runtime_summary()
         print(
             "Average Tracking/Iteration Time: {:.2f} ms\n"

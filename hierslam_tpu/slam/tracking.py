@@ -111,22 +111,29 @@ def make_tracker(
     from hierslam_tpu.ops.render_tracked import build_track_cache, render_tracked
 
     @jax.jit
-    def track(
+    def track_round(
         params: Params,
         active: jax.Array,
-        max_radius: jax.Array,
         im_gt: jax.Array,
         depth_gt: jax.Array,
         time_idx,
+        carry_in,
     ):
+        """Run ``num_iters`` optimization steps from an explicit scan carry.
+
+        The depth-loss escape hatch (scripts/hierslam.py:1877-1888) doubles
+        the iteration budget of the SAME optimizer run — Adam moments, step
+        count and best-candidate bookkeeping all continue — so the carry is
+        a first-class input/output here.
+        """
         t_idx = jnp.asarray(time_idx, jnp.int32)
-        q0 = params["cam_unnorm_rots"][0, :, t_idx]
-        t0 = params["cam_trans"][0, :, t_idx]
+        q_cur, t_cur = carry_in[0], carry_in[1]
 
         cache = None
         if use_cache:
             cache = build_track_cache(
-                params, active, q0, t0, camera, raster_cfg, margin_px=margin_px
+                params, active, q_cur, t_cur, camera, raster_cfg,
+                margin_px=margin_px,
             )
 
         def loss_fn(q, t):
@@ -167,16 +174,35 @@ def make_tracker(
             maxrad = jnp.where(radii > 0, jnp.maximum(maxrad, radf), maxrad)
             return (q, t, mq, vq, mt, vt, cnt, bq, bt, bloss, maxrad), (loss, d_l, i_l)
 
-        zq, zt = jnp.zeros_like(q0), jnp.zeros_like(t0)
-        init = (
-            q0, t0, zq, zq, zt, zt, jnp.zeros((), jnp.int32),
-            q0, t0, jnp.asarray(jnp.inf, jnp.float32), max_radius,
-        )
-        carry, trace = jax.lax.scan(body, init, None, length=num_iters)
+        carry, trace = jax.lax.scan(body, carry_in, None, length=num_iters)
         (_, _, _, _, _, _, _, bq, bt, bloss, maxrad) = carry
         out = dict(params)
         out["cam_unnorm_rots"] = params["cam_unnorm_rots"].at[0, :, t_idx].set(bq)
         out["cam_trans"] = params["cam_trans"].at[0, :, t_idx].set(bt)
-        return out, bloss, maxrad, trace
+        return out, bloss, maxrad, trace, carry
 
+    @jax.jit
+    def fresh_carry(params: Params, max_radius: jax.Array, time_idx):
+        t_idx = jnp.asarray(time_idx, jnp.int32)
+        q0 = params["cam_unnorm_rots"][0, :, t_idx]
+        t0 = params["cam_trans"][0, :, t_idx]
+        zq, zt = jnp.zeros_like(q0), jnp.zeros_like(t0)
+        return (
+            q0, t0, zq, zq, zt, zt, jnp.zeros((), jnp.int32),
+            q0, t0, jnp.asarray(jnp.inf, jnp.float32), max_radius,
+        )
+
+    def track(
+        params: Params,
+        active: jax.Array,
+        max_radius: jax.Array,
+        im_gt: jax.Array,
+        depth_gt: jax.Array,
+        time_idx,
+    ):
+        init = fresh_carry(params, max_radius, time_idx)
+        return track_round(params, active, im_gt, depth_gt, time_idx, init)
+
+    # expose the resumable round for the depth-loss escape hatch
+    track.continue_round = track_round
     return track

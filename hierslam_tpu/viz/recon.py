@@ -93,21 +93,66 @@ def render_trajectory_frames(
     return out_dir
 
 
-def interactive_replay(params: Dict[str, np.ndarray], config: Dict, **kwargs):
-    """Open3D interactive replay (viz_scripts/online_recon.py equivalent).
+def interactive_replay(
+    params: Dict[str, np.ndarray],
+    config: Dict,
+    every: int = 1,
+    online: bool = True,
+    viz_scale: float = 0.5,
+    pcd_stride: int = 2,
+    fps: float = 10.0,
+):
+    """Open3D interactive replay (viz_scripts/online_recon.py:184-338).
 
-    Raises a clear error when open3d is unavailable (it is not installed in
-    headless TPU images); use render_trajectory_frames instead.
+    All geometry comes from the display-independent functions in
+    hierslam_tpu.viz.geometry (unit-tested headlessly); this wrapper only
+    owns the Open3D objects and the window loop.
     """
     try:
-        import open3d as o3d  # noqa: F401
+        import open3d as o3d
     except ImportError as e:
         raise ImportError(
             "open3d is required for interactive replay; use "
             "render_trajectory_frames for headless rendering"
         ) from e
-    raise NotImplementedError(
-        "Interactive Open3D replay is pending an environment with open3d; "
-        "render_trajectory_frames covers headless replay of the same "
-        "params.npz artifact."
-    )
+    import time
+
+    from hierslam_tpu.viz.geometry import replay_step_geometry
+
+    n_frames = params["cam_unnorm_rots"].shape[-1]
+    vis = o3d.visualization.Visualizer()
+    H = int(params["org_height"] * viz_scale)
+    W = int(params["org_width"] * viz_scale)
+    vis.create_window(width=W, height=H, visible=True)
+
+    pcd = o3d.geometry.PointCloud()
+    frustum = o3d.geometry.LineSet()
+    traj = o3d.geometry.LineSet()
+    added = False
+    for t in range(0, n_frames, every):
+        g = replay_step_geometry(
+            params, config, t, online=online, viz_scale=viz_scale,
+            pcd_stride=pcd_stride,
+        )
+        pcd.points = o3d.utility.Vector3dVector(g["points"])
+        pcd.colors = o3d.utility.Vector3dVector(g["colors"])
+        frustum.points = o3d.utility.Vector3dVector(g["frustum_verts"])
+        frustum.lines = o3d.utility.Vector2iVector(g["frustum_lines"])
+        frustum.paint_uniform_color([0.0, 0.8, 0.8])
+        traj.points = o3d.utility.Vector3dVector(g["traj_verts"])
+        traj.lines = o3d.utility.Vector2iVector(g["traj_lines"])
+        if len(g["traj_colors"]):
+            traj.colors = o3d.utility.Vector3dVector(g["traj_colors"])
+        if not added:
+            for geom in (pcd, frustum, traj):
+                vis.add_geometry(geom)
+            added = True
+        else:
+            for geom in (pcd, frustum, traj):
+                vis.update_geometry(geom)
+        if not vis.poll_events():
+            break
+        vis.update_renderer()
+        time.sleep(1.0 / fps)
+    vis.run()  # stay interactive after the replay (final_recon.py behavior)
+    vis.destroy_window()

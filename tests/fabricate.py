@@ -126,6 +126,22 @@ def fabricate_scannet(root, n_frames=4, W=64, H=48, semantic=True):
             fh.write("\n".join(lines))
         with open(os.path.join(root, "scannetv2-labels.combined.tree.tsv"), "w") as fh:
             fh.write("\n".join(tree_lines))
+        # 5-level large tree keyed by SPARSE raw ids (cols 17-26)
+        header5 = "\t".join(f"c{i}" for i in range(27))
+        large_lines = [header5]
+        for raw, nyu in [(0, 0), (100, 1), (200, 2), (300, 3)]:
+            lrow = ["0"] * 27
+            lrow[0], lrow[1] = str(raw), f"raw{raw}"
+            lrow[4], lrow[7] = str(nyu), f"class{nyu}"
+            lrow[17], lrow[18] = str(nyu % 2), f"l1_{nyu % 2}"
+            for lv in range(1, 5):
+                lrow[17 + 2 * lv] = str(nyu)
+                lrow[18 + 2 * lv] = f"l{lv + 1}_{nyu}"
+            large_lines.append("\t".join(lrow))
+        with open(
+            os.path.join(root, "scannetv2-labels.combined.tree-large.tsv"), "w"
+        ) as fh:
+            fh.write("\n".join(large_lines))
     cam_cfg = {
         "dataset_name": "scannet_semantic" if semantic else "scannet",
         "camera_params": {

@@ -94,6 +94,7 @@ def small_config(basedir, seq, semantic=True, workdir="/tmp/hierslam_e2e"):
 def test_full_slam_semantic(tmp_path):
     basedir, seq, _ = fabricate_replica(str(tmp_path / "data"), n_frames=6, semantic=True)
     cfg = small_config(basedir, seq, workdir=str(tmp_path / "out"))
+    cfg["report_global_progress_every"] = 4  # frames 0 and 3 report
 
     from hierslam_tpu.slam.pipeline import run_slam
 
@@ -122,6 +123,22 @@ def test_full_slam_semantic(tmp_path):
     assert results["psnr"] > 12.0
     assert 0 <= results["miou_pct"] <= 100
     assert results["depth_l1_cm"] < 80.0
+
+    # online progress reporting artifacts (report_progress_newrender +
+    # plot_rgbd_silhouette equivalents) and the end-of-run metrics plot
+    plots = os.path.join(cfg["workdir"], cfg["run_name"], "eval", "plots")
+    assert os.path.isfile(os.path.join(plots, "tracking_0003.png"))
+    assert os.path.isfile(os.path.join(plots, "mapping_0000.png"))
+    assert os.path.isfile(
+        os.path.join(cfg["workdir"], cfg["run_name"], "eval", "metrics.png")
+    )
+    import json
+
+    mj = os.path.join(cfg["workdir"], cfg["run_name"], "metrics.jsonl")
+    recs = [json.loads(l) for l in open(mj)]
+    assert any("tracking_progress_psnr" in r for r in recs)
+    assert any("mapping_progress_psnr" in r for r in recs)
+    assert any("bin_overflow" in r for r in recs)
 
 
 def test_gt_pose_mode(tmp_path):

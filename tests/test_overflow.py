@@ -1,0 +1,52 @@
+"""Binning-overflow quality regression: truncating the per-tile list at K
+must not materially change the render, because transmittance terminates
+blending after ~tens of hits (T < 1e-4 stop, forward.cu:357-362).  This
+bounds the image-space error of the static caps (VERDICT round-1 item 3)."""
+import numpy as np
+import jax.numpy as jnp
+
+from hierslam_tpu.core.camera import intrinsics_matrix, setup_camera
+from hierslam_tpu.ops.rasterize import RasterConfig, rasterize
+
+
+def _dense_scene(n=3000, seed=0):
+    rng = np.random.default_rng(seed)
+    means = np.stack(
+        [rng.uniform(-0.6, 0.6, n), rng.uniform(-0.45, 0.45, n),
+         rng.uniform(1.0, 3.0, n)], -1,
+    ).astype(np.float32)
+    return dict(
+        means3D=jnp.asarray(means),
+        colors=jnp.asarray(rng.uniform(0, 1, (n, 3)).astype(np.float32)),
+        opacities=jnp.asarray(
+            1 / (1 + np.exp(-rng.normal(1.5, 1.0, n))).astype(np.float32)
+        ),
+        scales=jnp.asarray(rng.uniform(0.02, 0.06, (n, 1)).astype(np.float32)),
+        rotations=jnp.asarray(np.tile([1.0, 0, 0, 0], (n, 1)).astype(np.float32)),
+    )
+
+
+def test_overflow_truncation_bounded_error():
+    camera = setup_camera(64, 48, intrinsics_matrix(40, 40, 32, 24), np.eye(4))
+    s = _dense_scene()
+
+    def render(k):
+        rc = RasterConfig(max_per_tile=k, gaussian_chunk=64, tile_batch=4,
+                          max_tiles_per_gaussian=16)
+        return rasterize(
+            s["means3D"], s["colors"], s["opacities"], s["scales"],
+            s["rotations"], camera, config=rc,
+        )
+
+    lo = render(64)
+    hi = render(1024)
+    assert int(lo.n_dropped) > 0, "test scene must actually overflow at K=64"
+    assert int(hi.n_dropped) < int(lo.n_dropped)
+    mse = float(jnp.mean((jnp.clip(lo.im, 0, 1) - jnp.clip(hi.im, 0, 1)) ** 2))
+    psnr = 10 * np.log10(1.0 / max(mse, 1e-12))
+    # depth-sorted truncation only drops far-tail gaussians behind an
+    # almost-opaque front -> tiny image error
+    assert psnr > 30.0, f"overflow-induced PSNR {psnr:.1f} dB too low"
+    # depth image agrees too
+    d_mae = float(jnp.mean(jnp.abs(lo.depth - hi.depth)))
+    assert d_mae < 0.05, d_mae

@@ -117,7 +117,7 @@ def test_tracking_recovers_pose():
     tracker = make_tracker(camera, cfg, RC, lr_quat=4e-4, lr_trans=2e-3, num_iters=200)
     maxrad = jnp.zeros((600,))
     # track frame 1 starting from the identity pose stored in the trajectory
-    out_params, bloss, maxrad, (losses, _, _) = tracker(
+    out_params, bloss, maxrad, (losses, _, _), _carry = tracker(
         gt, active, maxrad, im_gt, depth_gt, 1
     )
     bt = out_params["cam_trans"][0, :, 1]
@@ -126,6 +126,82 @@ def test_tracking_recovers_pose():
     assert err1 < 0.1 * err0, (err0, err1)
     assert float(losses[-1]) < float(losses[0]) * 0.1
     assert float(jnp.max(maxrad)) > 0
+
+
+def test_depth_loss_thres_continues_same_optimizer():
+    """The escape hatch doubles the SAME Adam run (scripts/hierslam.py:
+    1877-1888): track(N) + continue_round(N) must equal one track(2N) —
+    moments, step count and best-candidate bookkeeping all carry over."""
+    camera = _camera()
+    gt = _synthetic_map(jax.random.PRNGKey(0))
+    active = jnp.ones((600,), bool)
+    q_gt = transforms.normalize(jnp.array([1.0, 0.01, -0.02, 0.005]))
+    t_gt = jnp.array([0.03, -0.02, 0.01])
+    out = render_gaussians(
+        gt, active, q_gt, t_gt, camera, RC,
+        with_semantic=False, gaussians_grad=False, camera_grad=False,
+    )
+    im_gt, depth_gt = out.im, out.depth
+    cfg = LossConfig(use_sil_for_loss=True, sil_thres=0.99, w_im=0.5, w_depth=1.0)
+    maxrad = jnp.zeros((600,))
+    # use_cache=False so both trajectories evaluate the identical loss fn
+    # (the cached fast path would rebind at the midpoint pose).
+    t_n = make_tracker(camera, cfg, RC, 4e-4, 2e-3, num_iters=20, use_cache=False)
+    t_2n = make_tracker(camera, cfg, RC, 4e-4, 2e-3, num_iters=40, use_cache=False)
+    p1, _, mr1, tr1, carry = t_n(gt, active, maxrad, im_gt, depth_gt, 1)
+    p1, bl1, mr1, tr1b, _ = t_n.continue_round(p1, active, im_gt, depth_gt, 1, carry)
+    p2, bl2, mr2, tr2, _ = t_2n(gt, active, maxrad, im_gt, depth_gt, 1)
+    np.testing.assert_allclose(
+        np.asarray(p1["cam_trans"][0, :, 1]),
+        np.asarray(p2["cam_trans"][0, :, 1]), atol=1e-6,
+    )
+    np.testing.assert_allclose(float(bl1), float(bl2), atol=1e-6)
+    # the continuation's loss trace must equal the 2N run's second half
+    np.testing.assert_allclose(
+        np.asarray(tr1b[0]), np.asarray(tr2[0][20:]), atol=1e-5,
+    )
+
+
+def test_raster_config_invariants():
+    import pytest
+
+    with pytest.raises(ValueError):
+        RasterConfig(backend="cuda")
+    from hierslam_tpu.config import raster_config
+
+    rc = raster_config({"raster": {"max_tiles_per_gaussian": 32, "max_per_tile": 64}})
+    assert rc.max_tiles_per_gaussian == 32
+    assert rc.max_per_tile == 64 and rc.backend == "pallas"
+
+
+def test_gather_rows_backward_exact():
+    """The segmented-scan backward must equal autodiff through a plain
+    gather — for every run length up to the cap (including > 16 refs)."""
+    from hierslam_tpu.ops.gather_vjp import build_inverse_map, gather_rows
+
+    rng = np.random.default_rng(3)
+    n, t, k, c = 40, 12, 8, 5
+    max_run = 32
+    # heavy reuse: some gaussians appear dozens of times, some never
+    idx = rng.integers(-1, 12, size=(t, k)).astype(np.int32)  # ids 0..11 + pads
+    arr = jnp.asarray(rng.normal(size=(n, c)).astype(np.float32))
+    cot = jnp.asarray(rng.normal(size=(t, k, c)).astype(np.float32))
+    # zero cotangents at padded slots, as the blend kernel guarantees
+    cot = cot * (jnp.asarray(idx) >= 0)[:, :, None]
+
+    inv = build_inverse_map(jnp.asarray(idx), n, max_run)
+
+    def f(a):
+        out = gather_rows(a, jnp.asarray(idx), inv.spos, inv.skey,
+                          inv.starts, inv.n_ref, max_run)
+        return jnp.sum(out * cot)
+
+    def f_ref(a):
+        return jnp.sum(a[jnp.maximum(jnp.asarray(idx), 0)] * cot)
+
+    g1 = jax.grad(f)(arr)
+    g2 = jax.grad(f_ref)(arr)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-5)
 
 
 def test_densify_fills_unseen_regions():
@@ -137,9 +213,10 @@ def test_densify_fills_unseen_regions():
     im_gt = jnp.ones((3, 48, 64)) * 0.5
     depth_gt = jnp.full((48, 64), 2.0)
     dens = make_densifier(camera, RC, sil_thres=0.5, num_semantic=0)
-    params, variables, n_added, n_over = dens(
+    params, variables, n_added, n_over, n_bin_drop = dens(
         params, variables, im_gt, depth_gt, jnp.asarray(0), jax.random.PRNGKey(0)
     )
+    assert int(n_bin_drop) >= 0
     assert int(n_added) == 48 * 64
     assert int(n_over) == 0
     assert int(variables["n_active"]) == 48 * 64

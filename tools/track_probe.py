@@ -47,13 +47,13 @@ params["cam_unnorm_rots"] = params["cam_unnorm_rots"].at[0, :, 1].set(
     jnp.array([1.0, 0.001, 0.0, 0.0]))
 
 t0 = time.time()
-p2, bl, mr, _ = tracker(params, variables["active"], variables["max_2D_radius"],
+p2, bl, mr, _, _ = tracker(params, variables["active"], variables["max_2D_radius"],
                         im_gt, depth_gt, 1)
 print("track compile+run", time.time() - t0, float(bl), flush=True)
 t0 = time.time()
 reps = 3
 for _ in range(reps):
-    p2, bl, mr, _ = tracker(params, variables["active"], variables["max_2D_radius"],
+    p2, bl, mr, _, _ = tracker(params, variables["active"], variables["max_2D_radius"],
                             im_gt, depth_gt, 1)
     lv = float(bl)
 dt = (time.time() - t0) / reps
