@@ -40,7 +40,8 @@ config = dict(
     use_wandb=False,
     # --- TPU-specific ---
     map_capacity=3_000_000,
-    raster=dict(tile_shape=(16, 16), max_per_tile=2048, gaussian_chunk=256, tile_batch=48),
+    raster=dict(tile_shape=(16, 16), max_per_tile=2048, gaussian_chunk=256, tile_batch=48,
+                grad_pair_budget=3_000_000, grad_bf16=True),
     model=dict(
         flag_use_embedding=1,
         eval_gt_transfer=False,

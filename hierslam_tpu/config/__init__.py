@@ -67,4 +67,6 @@ def raster_config(config: Dict) -> RasterConfig:
         # gradient routes must cover every emitted (tile, slot) pair
         max_refs=r.get("max_refs", mtg),
         backend=r.get("backend", "pallas"),
+        grad_pair_budget=r.get("grad_pair_budget", 0),
+        grad_bf16=r.get("grad_bf16", False),
     )

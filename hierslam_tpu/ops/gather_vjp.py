@@ -38,6 +38,30 @@ class InverseMap(NamedTuple):
     # RasterConfig, not here — pytree leaves must stay arrays for lax.map.
 
 
+def rank_probes(keys: jax.Array, num_probes: int) -> jax.Array:
+    """``ends[g] = #{i: keys[i] <= g}`` for every g in [0, num_probes).
+
+    Equivalent to ``searchsorted(sort(keys), arange(P), side="right")`` but
+    computed by MERGING: probe sentinels are sorted together with the data
+    and their landing positions read off by inverting the permutation
+    (a second sort).  On TPU a batched ``searchsorted`` lowers to a
+    binary-search ``while`` doing log2(M) rounds of random gathers over the
+    whole query set (~85 ms/iter at the bench shape — the single hottest
+    op in round-1 mapping); two extra ``lax.sort`` calls cost ~3 ms.
+
+    ``keys`` need not be pre-sorted.  Values must lie in [0, 2**30).
+    """
+    m = keys.shape[0]
+    # probes sort AFTER equal-valued data: (value, tag) packed as 2v / 2g+1
+    all_keys = jnp.concatenate(
+        [keys * 2, jnp.arange(num_probes, dtype=jnp.int32) * 2 + 1]
+    )
+    pos = jnp.arange(m + num_probes, dtype=jnp.int32)
+    _, perm = jax.lax.sort((all_keys, pos), num_keys=1)
+    _, ranks = jax.lax.sort((perm, pos), num_keys=1)
+    return ranks[m:] - jnp.arange(num_probes, dtype=jnp.int32)
+
+
 def build_inverse_map(
     tile_idx: jax.Array, num_gaussians: int, max_run: int = 0
 ) -> InverseMap:
@@ -52,16 +76,15 @@ def build_inverse_map(
     # sort pairs by gaussian id; -1 pads sort LAST via remap to num_gaussians
     key = jnp.where(flat < 0, num_gaussians, flat)
     skey, spos = jax.lax.sort((key, pos), num_keys=1)
-    gids = jnp.arange(num_gaussians, dtype=jnp.int32)
-    starts = jnp.searchsorted(skey, gids).astype(jnp.int32)
-    ends = jnp.searchsorted(skey, gids, side="right").astype(jnp.int32)
+    ends = rank_probes(key, num_gaussians)
+    starts = jnp.concatenate([jnp.zeros((1,), jnp.int32), ends[:-1]])
     return InverseMap(
         spos=spos, skey=skey, starts=starts,
         n_ref=(ends - starts).astype(jnp.int32),
     )
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(6,))
+@partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
 def gather_rows(
     arr: jax.Array,
     tile_idx: jax.Array,
@@ -70,6 +93,9 @@ def gather_rows(
     starts: jax.Array,
     n_ref: jax.Array,
     max_run: int = 16,
+    n_diff: int = 0,
+    pair_budget: int = 0,
+    grad_bf16: bool = False,
 ) -> jax.Array:
     """``arr[max(tile_idx, 0)]`` with a scatter-free, exact backward.
 
@@ -77,22 +103,48 @@ def gather_rows(
     from :func:`build_inverse_map`.  Output [T, K, C]; padded slots gather
     row 0 (callers mask by validity, and their cotangents are excluded from
     the backward by construction).
+
+    ``n_diff`` (static): only the first n_diff columns carry gradient —
+    trailing columns (e.g. stop-gradient rect-culling data riding the same
+    gather) are excluded from the backward's permute/suffix/head traffic
+    and return zero cotangent.  0 means all columns.
+
+    ``pair_budget`` (static): cap on the number of REFERENCED (tile, slot)
+    positions the backward routes.  In the gaussian-sorted order all valid
+    references form a prefix (pad slots sort last), so truncating to the
+    budget only drops gradient contributions when the scene's true overlap
+    count exceeds it — callers surface ``count_grad_dropped`` of the
+    binning.  0 means route all T*K positions (always exact).
+
+    ``grad_bf16`` (static): permute the cotangent rows in bfloat16 (the
+    permutation is HBM-bandwidth-bound: 48 -> 28 ms at the bench shape);
+    the segmented suffix accumulation stays f32.  Off by default — parity
+    tests assert f32-exact routing.
     """
     return arr[jnp.maximum(tile_idx, 0)]
 
 
-def _gather_fwd(arr, tile_idx, spos, skey, starts, n_ref, max_run):
+def _gather_fwd(arr, tile_idx, spos, skey, starts, n_ref, max_run, n_diff,
+                pair_budget, grad_bf16):
     out = arr[jnp.maximum(tile_idx, 0)]
     return out, (spos, skey, starts, n_ref)
 
 
-def _gather_bwd(max_run, res, g):
+def _gather_bwd(max_run, n_diff, pair_budget, grad_bf16, res, g):
     spos, skey, starts, n_ref = res
     t, k, c = g.shape
     m = t * k
-    g_flat = g.reshape(m, c)
+    if pair_budget and pair_budget < m:
+        # valid references occupy a prefix of the gaussian-sorted order
+        spos = spos[:pair_budget]
+        skey = skey[:pair_budget]
+        m = pair_budget
+    nd = c if n_diff == 0 else min(n_diff, c)
+    g_flat = g.reshape(t * k, c)[:, :nd]
+    if grad_bf16:
+        g_flat = g_flat.astype(jnp.bfloat16)
     # 1. permute cotangent rows into gaussian-sorted order (one row-gather)
-    y = g_flat[spos]
+    y = g_flat[spos].astype(jnp.float32)
     # 2. segmented suffix-sum: after ceil(log2(max_run)) doubling passes,
     #    y[i] = sum of g over i's run-suffix (runs delimited by skey).
     s = 1
@@ -100,9 +152,12 @@ def _gather_bwd(max_run, res, g):
         same = (skey[:-s] == skey[s:])[:, None]
         y = jnp.concatenate([y[:-s] + jnp.where(same, y[s:], 0.0), y[-s:]], axis=0)
         s *= 2
-    # 3. each gaussian's total = its run head (masked for unreferenced rows)
+    # 3. each gaussian's total = its run head (masked for unreferenced rows;
+    # under a pair budget, also for runs starting past the truncation)
     head = y[jnp.minimum(starts, m - 1)]
-    grad = jnp.where((n_ref > 0)[:, None], head, 0.0)
+    grad = jnp.where(((n_ref > 0) & (starts < m))[:, None], head, 0.0)
+    if nd < c:
+        grad = jnp.pad(grad, ((0, 0), (0, c - nd)))
     return grad, None, None, None, None, None
 
 

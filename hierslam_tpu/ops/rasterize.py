@@ -52,6 +52,10 @@ class RasterConfig:
     max_tiles_per_gaussian: int = 16  # per-gaussian tile-emission capacity
     backend: str = "pallas"           # blend backend: "pallas" (fused) | "xla"
     pallas_interpret: bool = False    # interpret-mode Pallas (CPU debugging)
+    grad_pair_budget: int = 0         # backward gradient-routing cap on valid
+                                      # (tile, slot) refs; 0 = route all T*K
+                                      # (exact).  Overflow -> n_grad_dropped.
+    grad_bf16: bool = False           # bf16 cotangent permutation (f32 accum)
 
     def __post_init__(self):
         if self.backend not in ("pallas", "xla"):
@@ -208,7 +212,8 @@ def rasterize(
     )
     g_all = gather_rows(
         table, lists.idx, inverse.spos, inverse.skey, inverse.starts,
-        inverse.n_ref, config.max_tiles_per_gaussian,
+        inverse.n_ref, config.max_tiles_per_gaussian, c_main,
+        config.grad_pair_budget, config.grad_bf16,
     )
     g = g_all[..., :c_main]
     g_rect = jax.lax.stop_gradient(g_all[..., c_main:])
@@ -258,6 +263,15 @@ def rasterize(
         semantic=sem,
         n_dropped=lists.n_dropped,
         tile_count=lists.count,
-        # the segmented-scan backward is exact for any cap configuration
-        n_grad_dropped=jnp.zeros((), jnp.int32),
+        # the segmented-scan backward is exact unless a grad_pair_budget
+        # truncates routing below the true valid-reference count
+        n_grad_dropped=(
+            jnp.maximum(
+                jnp.sum(jnp.minimum(lists.count, config.max_per_tile))
+                - config.grad_pair_budget,
+                0,
+            )
+            if config.grad_pair_budget
+            else jnp.zeros((), jnp.int32)
+        ),
     )

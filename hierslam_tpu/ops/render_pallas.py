@@ -226,8 +226,9 @@ def _tb_fwd(k, q):
 
 
 def _tb_bwd(k, q):
-    # backward holds ~15 [P, Q] f32 temps per chunk (~4MB at Q=256)
-    return max(1, min(4, 1024 // q))
+    # backward holds ~15 [P, Q] f32 temps per chunk (~4MB at Q=256); the
+    # unrolled two-pass structure keeps several alive, so batch conservatively
+    return max(1, min(2, 512 // q))
 
 
 def _pad_tiles(x, t_pad, fill=0.0):
@@ -236,13 +237,33 @@ def _pad_tiles(x, t_pad, fill=0.0):
 
 
 def _chunk_q(k, chunk):
-    q = min(k, chunk)
+    # chunks are the kernel's lane width: keep them full lane-rows (x128) —
+    # Mosaic cannot concatenate sub-lane-row vectors with mismatched lane
+    # offsets ('result/input offset mismatch on non-concat dimension')
+    q = max(128, (min(k, chunk) // 128) * 128)
     # K must divide into equal chunks; fall back to K itself otherwise
     return q if k % q == 0 else k
 
 
+def _pad_k(table, ok, k_pad):
+    """Pad the K (lane) axis to a full-lane multiple: Mosaic cannot
+    concatenate sub-lane-row vectors with mismatched lane offsets
+    (observed at K<128: 'result/input offset mismatch on non-concat
+    dimension').  Padded slots carry ok=0/zero rows -> zero contribution."""
+    K = table.shape[1]
+    if k_pad == K:
+        return table, ok
+    return (
+        jnp.pad(table, ((0, 0), (0, k_pad - K), (0, 0))),
+        jnp.pad(ok, ((0, 0), (0, k_pad - K))),
+    )
+
+
 def _run_fwd(table, ok, grid, tile_shape, interpret, chunk=256):
     T, K, C = table.shape
+    k_pad = max(128, -(-K // 128) * 128)
+    table, ok = _pad_k(table, ok, k_pad)
+    K = k_pad
     n_feat = C - 7
     th, tw = tile_shape
     P = th * tw
@@ -274,13 +295,18 @@ def _run_fwd(table, ok, grid, tile_shape, interpret, chunk=256):
             jax.ShapeDtypeStruct((t_pad, 1, P), jnp.float32),
             jax.ShapeDtypeStruct((t_pad, 1, P), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(tab_t, okp)
     return acc[:T], ft[:T, 0], med[:T, 0]
 
 
 def _run_bwd(table, ok, gacc, gft, gmed, grid, tile_shape, interpret, chunk=256):
-    T, K, C = table.shape
+    T, K_in, C = table.shape
+    K = max(128, -(-K_in // 128) * 128)
+    table, ok = _pad_k(table, ok, K)
     n_feat = C - 7
     th, tw = tile_shape
     P = th * tw
@@ -309,10 +335,13 @@ def _run_bwd(table, ok, gacc, gft, gmed, grid, tile_shape, interpret, chunk=256)
             pl.BlockSpec((tb, C, K), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[jax.ShapeDtypeStruct((t_pad, C, K), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(tab_t, okp, _pad_tiles(gacc, t_pad),
       _pad_tiles(gft[:, :, None], t_pad), _pad_tiles(gmed[:, :, None], t_pad))[0]
-    return jnp.swapaxes(dtab_t[:T], 1, 2)
+    return jnp.swapaxes(dtab_t[:T], 1, 2)[:, :K_in]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))

@@ -202,3 +202,42 @@ def test_overflow_is_reported():
         config=cfg,
     )
     assert int(out.n_dropped) > 0
+
+
+def test_grad_pair_budget():
+    """A grad_pair_budget >= the true valid-reference count must leave
+    gradients EXACTLY unchanged; an under-budget run reports the shortfall
+    in n_grad_dropped and still returns finite gradients."""
+    scene, cam = make_scene(n=70, seed=11, W=40, H=24)
+    camera = to_camera(cam)
+    inputs = (
+        jnp.asarray(scene["means3D"], jnp.float32),
+        jnp.asarray(scene["colors"], jnp.float32),
+        jnp.asarray(scene["opacities"], jnp.float32),
+        jnp.asarray(scene["scales"], jnp.float32),
+        jnp.asarray(scene["rotations"], jnp.float32),
+    )
+
+    def loss(budget):
+        cfg = RasterConfig(max_per_tile=128, gaussian_chunk=16, tile_batch=3,
+                           grad_pair_budget=budget)
+
+        def f(*args):
+            out = rasterize(*args, camera, config=cfg)
+            return jnp.sum(out.im**2) + jnp.sum(jnp.sin(out.depth)), out
+
+        (v, out), g = jax.value_and_grad(f, argnums=(0, 1, 2), has_aux=True)(*inputs)
+        return v, g, out
+
+    v0, g0, out0 = loss(0)
+    n_valid = int(jnp.sum(jnp.minimum(out0.tile_count, 128)))
+    assert int(out0.n_grad_dropped) == 0
+
+    v1, g1, out1 = loss(n_valid + 8)
+    assert int(out1.n_grad_dropped) == 0
+    for a, b in zip(g0, g1):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    v2, g2, out2 = loss(max(8, n_valid // 2))
+    assert int(out2.n_grad_dropped) > 0
+    assert all(np.all(np.isfinite(np.asarray(g))) for g in g2)
