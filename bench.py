@@ -79,7 +79,7 @@ def main():
     camera = setup_camera(W, H, intrinsics_matrix(600.0, 600.0, 599.5, 339.5), np.eye(4))
     rc = RasterConfig(
         max_per_tile=512, gaussian_chunk=256, tile_batch=48,
-        grad_pair_budget=1_500_000, grad_bf16=True,
+        grad_pair_budget=1_500_000, grad_bf16=True, track_max_per_tile=256,
     )
 
     # GT frame = a render of the map itself.

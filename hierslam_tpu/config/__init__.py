@@ -69,4 +69,5 @@ def raster_config(config: Dict) -> RasterConfig:
         backend=r.get("backend", "pallas"),
         grad_pair_budget=r.get("grad_pair_budget", 0),
         grad_bf16=r.get("grad_bf16", False),
+        track_max_per_tile=r.get("track_max_per_tile", 0),
     )

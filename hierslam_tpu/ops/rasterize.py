@@ -56,6 +56,13 @@ class RasterConfig:
                                       # (tile, slot) refs; 0 = route all T*K
                                       # (exact).  Overflow -> n_grad_dropped.
     grad_bf16: bool = False           # bf16 cotangent permutation (f32 accum)
+    track_max_per_tile: int = 0       # pose-tracking per-tile K (0 = use
+                                      # max_per_tile).  Tracking only reads
+                                      # sil-saturated pixels, which blend to
+                                      # opacity within the nearest few dozen
+                                      # gaussians — a smaller K cuts the
+                                      # per-iteration blend cost linearly;
+                                      # drops are counted like any overflow.
 
     def __post_init__(self):
         if self.backend not in ("pallas", "xla"):

@@ -107,8 +107,15 @@ def make_tracker(
     and frustum culling, so results match the fresh-binning renderer
     wherever the margin holds.
     """
+    from dataclasses import replace as _dc_replace
+
     from hierslam_tpu.ops.rasterize import RenderOutput
     from hierslam_tpu.ops.render_tracked import build_track_cache, render_tracked
+
+    if raster_cfg.track_max_per_tile:
+        raster_cfg = _dc_replace(
+            raster_cfg, max_per_tile=raster_cfg.track_max_per_tile
+        )
 
     @jax.jit
     def track_round(
