@@ -150,10 +150,12 @@ def make_mapper(
                 raster_cfg, active=variables["active"], margin_px=bin_margin_px,
             )
 
-        # One BATCHED binning over all window frames: the per-frame sorts
-        # fuse into one [W, N*R] batched sort kernel, amortizing per-sort
-        # overhead across the window (vs a sequential lax.map).
-        binnings = jax.vmap(bin_one)((wq, wt))  # pytree stacked [W, ...]
+        # Binning over the window in batches of 4 frames: full vmap would
+        # materialize [W, N, R] pair arrays (24 frames x 2M slots x 16 =
+        # 24GB at capacity — OOM), while a fully sequential map loses the
+        # batched-sort amortization.  4 frames bounds the peak at
+        # ~4*N*R pairs and still fuses the per-frame sorts.
+        binnings = jax.lax.map(bin_one, (wq, wt), batch_size=4)
 
         def body(carry, it):
             gp, variables, opt, mlp, mlp_state = carry

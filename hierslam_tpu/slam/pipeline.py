@@ -503,9 +503,19 @@ class SLAMRunner:
             from tqdm import tqdm
 
             it = tqdm(it, total=self.num_frames - self.start_idx, desc="hierslam-tpu")
+        # first-class device tracing (SURVEY 5.1): config["profile"] =
+        # {"trace_dir": str, "frames": [..]} wraps the listed frames in
+        # jax.profiler.trace; xplanes land under trace_dir for offline
+        # attribution (see tools/profile_map.py for the parser).
+        prof = self.config.get("profile") or {}
+        prof_frames = set(prof.get("frames", ()))
         for t, frame in it:
             try:
-                self.step(t, frame)
+                if t in prof_frames:
+                    with jax.profiler.trace(prof["trace_dir"]):
+                        self.step(t, frame)
+                else:
+                    self.step(t, frame)
             except Exception:
                 self.emergency_checkpoint(t)
                 raise

@@ -269,3 +269,45 @@ def test_mapping_improves_render_and_prunes():
     assert float(losses[-1]) < float(losses[0])
     n_active_after = int(jnp.sum(variables2["active"]))
     assert n_active_after < n_active_before  # low-opacity slots pruned
+
+
+def test_mapping_converges_with_bf16_grads_and_budget():
+    """grad_bf16 + a tight grad_pair_budget must still reduce the mapping
+    loss (bf16 only quantizes the cotangent permutation; accumulation is
+    f32, and budget drops only tail references)."""
+    from dataclasses import replace
+
+    camera = _camera()
+    key = jax.random.PRNGKey(3)
+    gt = _synthetic_map(key)
+    out = render_gaussians(
+        gt, jnp.ones((600,), bool), jnp.array([1.0, 0, 0, 0]), jnp.zeros(3),
+        camera, RC, with_semantic=False, gaussians_grad=False, camera_grad=False,
+    )
+    n_cap = 1024
+    params = G.empty_params(n_cap, 4)
+    variables = G.empty_variables(n_cap)
+    fields = {k: gt[k] for k in (
+        "means3D", "rgb_colors", "unnorm_rotations", "logit_opacities", "log_scales")}
+    fields = dict(fields)
+    fields["rgb_colors"] = jnp.clip(
+        fields["rgb_colors"] + 0.3 * jax.random.normal(key, fields["rgb_colors"].shape), 0, 1
+    )
+    params, variables, _ = G.insert_gaussians(
+        params, variables, fields, jnp.ones((600,), bool), 0.0
+    )
+    variables["scene_radius"] = jnp.asarray(3.0)
+
+    rc = replace(RC, grad_bf16=True, grad_pair_budget=2000)
+    cfg = LossConfig(use_sil_for_loss=False, sil_thres=0.5, w_im=0.5, w_depth=1.0)
+    lrs = {
+        "means3D": 1e-4, "rgb_colors": 2.5e-3, "unnorm_rotations": 1e-3,
+        "logit_opacities": 0.05, "log_scales": 1e-3,
+    }
+    mapper = make_mapper(camera, cfg, rc, lrs, num_iters=20, prune_cfg=PruneConfig())
+    window = {"im": out.im[None], "depth": out.depth[None],
+              "time_idx": jnp.zeros((1,), jnp.int32)}
+    _, _, _, _, losses = mapper(
+        params, variables, window, jnp.zeros((20,), jnp.int32), None, None)
+    assert float(losses[-1]) < float(losses[0])
+    assert np.isfinite(float(losses[-1]))

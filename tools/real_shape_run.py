@@ -40,7 +40,12 @@ def build_config(basedir, workdir, W, H, max_per_tile, map_every, capacity):
         checkpoint_interval=500,
         use_wandb=False,
         map_capacity=capacity,
-        raster=dict(max_per_tile=max_per_tile, gaussian_chunk=256, tile_batch=48),
+        raster=dict(
+            max_per_tile=max_per_tile, gaussian_chunk=256, tile_batch=48,
+            grad_pair_budget=int(os.environ.get("RS_BUDGET", 3_000_000)),
+            grad_bf16=os.environ.get("RS_BF16", "1") == "1",
+            track_max_per_tile=int(os.environ.get("RS_TRACK_K", 512)),
+        ),
         model=dict(flag_use_embedding=1, eval_gt_transfer=False),
         data=dict(
             basedir=basedir,
