@@ -3,19 +3,22 @@
 Measures the two hot loops on real hardware at the reference's headline
 configuration (1200x680 frames, 40 tracking iters/frame, 60 mapping iters
 every 8th frame, 24-frame window semantics with a 26-channel hierarchical
-embedding — configs/replica/hierslam_semantic_run.py:15-19) over a
-synthetic room-scale Gaussian map, and derives end-to-end SLAM FPS:
+embedding — configs/replica/hierslam_semantic_run.py:15-19), SWEEPING the
+map size N over {300k, 1M, 2M} active Gaussians (a real room0 run
+densifies past 1M), and derives end-to-end SLAM FPS per size:
 
     fps = 1 / (tracking_frame_time + mapping_frame_time / map_every)
 
-``vs_baseline`` compares against ASSUMED_BASELINE_FPS — the reference
-publishes no numbers (README claims "Fast" only; BASELINE.json
-"published": {}), so we use 0.5 SLAM FPS as a representative figure for
-SplaTAM-class CUDA systems at this workload on a desktop GPU.
+The HEADLINE value is the WORST case over the sweep.  ``vs_baseline``
+compares against ASSUMED_BASELINE_FPS — the reference publishes no numbers
+(README claims "Fast" only; BASELINE.json "published": {}), so we use 0.5
+SLAM FPS as a representative figure for SplaTAM-class CUDA systems at this
+workload on a desktop GPU.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 import json
+import sys
 import time
 
 import numpy as np
@@ -24,7 +27,7 @@ ASSUMED_BASELINE_FPS = 0.5
 
 # Workload shape (Replica room0 semantic).
 H, W = 680, 1200
-N_GAUSS = 300_000
+N_SWEEP = (300_000, 1_000_000, 2_000_000)
 N_SEM = 26
 TRACK_ITERS = 40
 MAP_ITERS = 60
@@ -32,55 +35,47 @@ MAP_EVERY = 8
 WINDOW = 24
 
 
-def main():
+def build_state(n_gauss, rng, key):
     import jax
     import jax.numpy as jnp
 
-    from hierslam_tpu.utils.cache import enable_compilation_cache
-
-    enable_compilation_cache()
-
     from hierslam_tpu.core import gaussians as G
-    from hierslam_tpu.core.camera import intrinsics_matrix, setup_camera
-    from hierslam_tpu.ops.rasterize import RasterConfig
+
+    means = np.stack(
+        [
+            rng.uniform(-3, 3, n_gauss),
+            rng.uniform(-2, 2, n_gauss),
+            rng.uniform(0.5, 5.0, n_gauss),
+        ],
+        -1,
+    ).astype(np.float32)
+    params = G.empty_params(n_gauss, 8, N_SEM)
+    params["means3D"] = jnp.asarray(means)
+    params["rgb_colors"] = jnp.asarray(rng.uniform(0, 1, (n_gauss, 3)), jnp.float32)
+    params["logit_opacities"] = jnp.asarray(
+        rng.normal(1.5, 1.0, (n_gauss, 1)), jnp.float32
+    )
+    params["log_scales"] = jnp.asarray(
+        np.log(rng.uniform(0.008, 0.03, (n_gauss, 1))), jnp.float32
+    )
+    params["semantic"] = jax.random.uniform(key, (n_gauss, N_SEM))
+    variables = G.empty_variables(n_gauss)
+    variables["active"] = jnp.ones((n_gauss,), bool)
+    variables["n_active"] = jnp.asarray(n_gauss, jnp.int32)
+    variables["scene_radius"] = jnp.asarray(2.3, jnp.float32)
+    return params, variables
+
+
+def bench_size(n_gauss, camera, rc, rng, key):
+    import jax
+    import jax.numpy as jnp
+
     from hierslam_tpu.slam import optim
     from hierslam_tpu.slam.losses import LossConfig, mlp_init, render_gaussians
     from hierslam_tpu.slam.mapping import PruneConfig, make_mapper
     from hierslam_tpu.slam.tracking import make_tracker
 
-    rng = np.random.default_rng(0)
-    key = jax.random.PRNGKey(0)
-
-    # Synthetic room-scale map: gaussians spread over a 6x4x5 m volume.
-    means = np.stack(
-        [
-            rng.uniform(-3, 3, N_GAUSS),
-            rng.uniform(-2, 2, N_GAUSS),
-            rng.uniform(0.5, 5.0, N_GAUSS),
-        ],
-        -1,
-    ).astype(np.float32)
-    capacity = N_GAUSS
-    params = G.empty_params(capacity, 8, N_SEM)
-    params["means3D"] = jnp.asarray(means)
-    params["rgb_colors"] = jnp.asarray(rng.uniform(0, 1, (N_GAUSS, 3)), jnp.float32)
-    params["logit_opacities"] = jnp.asarray(
-        rng.normal(1.5, 1.0, (N_GAUSS, 1)), jnp.float32
-    )
-    params["log_scales"] = jnp.asarray(
-        np.log(rng.uniform(0.008, 0.03, (N_GAUSS, 1))), jnp.float32
-    )
-    params["semantic"] = jax.random.uniform(key, (N_GAUSS, N_SEM))
-    variables = G.empty_variables(capacity)
-    variables["active"] = jnp.ones((capacity,), bool)
-    variables["n_active"] = jnp.asarray(capacity, jnp.int32)
-    variables["scene_radius"] = jnp.asarray(2.3, jnp.float32)
-
-    camera = setup_camera(W, H, intrinsics_matrix(600.0, 600.0, 599.5, 339.5), np.eye(4))
-    rc = RasterConfig(
-        max_per_tile=512, gaussian_chunk=256, tile_batch=48,
-        grad_pair_budget=1_500_000, grad_bf16=True, track_max_per_tile=256,
-    )
+    params, variables = build_state(n_gauss, rng, key)
 
     # GT frame = a render of the map itself.
     out = render_gaussians(
@@ -90,7 +85,6 @@ def main():
     im_gt = jax.block_until_ready(jnp.clip(out.im, 0, 1))
     depth_gt = out.depth
     dropped = int(out.n_dropped)
-    # 5 tree levels whose widths sum to the 26-dim embedding, + 102 leaves
     sem_levels = (2, 3, 5, 7, 9)
     labels = np.concatenate(
         [rng.integers(0, n, (1, H, W)) for n in sem_levels + (102,)], 0
@@ -99,7 +93,6 @@ def main():
     # ---- tracking ---------------------------------------------------------
     track_loss = LossConfig(use_sil_for_loss=True, sil_thres=0.99, w_im=0.5, w_depth=1.0)
     tracker = make_tracker(camera, track_loss, rc, 4e-4, 2e-3, TRACK_ITERS)
-    # slightly perturbed starting pose in trajectory slot 1
     params["cam_unnorm_rots"] = params["cam_unnorm_rots"].at[0, :, 1].set(
         jnp.array([1.0, 0.001, 0.0, 0.0])
     )
@@ -111,18 +104,18 @@ def main():
         )
         return float(bl)  # scalar fetch = reliable completion fence
 
-    import sys
-
     t0 = time.time()
     run_track()  # compile
-    print(f"# tracking compile+run {time.time()-t0:.1f}s", file=sys.stderr, flush=True)
+    print(f"# N={n_gauss} tracking compile+run {time.time()-t0:.1f}s",
+          file=sys.stderr, flush=True)
     t0 = time.time()
     reps = 3
     for _ in range(reps):
         run_track()
     track_frame_s = (time.time() - t0) / reps
     print(
-        f"# tracking frame {track_frame_s:.3f}s ({track_frame_s/TRACK_ITERS*1e3:.1f} ms/iter)",
+        f"# N={n_gauss} tracking frame {track_frame_s:.3f}s "
+        f"({track_frame_s/TRACK_ITERS*1e3:.1f} ms/iter)",
         file=sys.stderr, flush=True,
     )
 
@@ -152,26 +145,56 @@ def main():
 
     t0 = time.time()
     run_map()  # compile
-    print(f"# mapping compile+run {time.time()-t0:.1f}s", file=sys.stderr, flush=True)
+    print(f"# N={n_gauss} mapping compile+run {time.time()-t0:.1f}s",
+          file=sys.stderr, flush=True)
     t0 = time.time()
     for _ in range(2):
         run_map()
     map_frame_s = (time.time() - t0) / 2
-    print(f"# mapping frame {map_frame_s:.3f}s", file=sys.stderr, flush=True)
+    print(f"# N={n_gauss} mapping frame {map_frame_s:.3f}s", file=sys.stderr, flush=True)
 
     fps = 1.0 / (track_frame_s + map_frame_s / MAP_EVERY)
+    return {
+        "fps": round(fps, 4),
+        "tracking_iter_ms": round(track_frame_s / TRACK_ITERS * 1e3, 2),
+        "tracking_frame_s": round(track_frame_s, 3),
+        "mapping_iter_ms": round(map_frame_s / MAP_ITERS * 1e3, 2),
+        "mapping_frame_s": round(map_frame_s, 3),
+        "n_gaussians": n_gauss,
+        "bin_overflow_pairs": dropped,
+    }
+
+
+def main():
+    import jax
+
+    from hierslam_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from hierslam_tpu.core.camera import intrinsics_matrix, setup_camera
+    from hierslam_tpu.ops.rasterize import RasterConfig
+
+    rng = np.random.default_rng(0)
+    key = jax.random.PRNGKey(0)
+    camera = setup_camera(W, H, intrinsics_matrix(600.0, 600.0, 599.5, 339.5), np.eye(4))
+    rc = RasterConfig(
+        max_per_tile=512, gaussian_chunk=256, tile_batch=48,
+        grad_pair_budget=1_500_000, grad_bf16=True, track_max_per_tile=256,
+    )
+
+    sweep = [bench_size(n, camera, rc, rng, key) for n in N_SWEEP]
+    worst = min(sweep, key=lambda r: r["fps"])
     result = {
-        "metric": "slam_fps_replica_room0_shape",
-        "value": round(fps, 4),
+        "metric": "slam_fps_replica_room0_shape_worstN",
+        "value": worst["fps"],
         "unit": "frames/sec",
-        "vs_baseline": round(fps / ASSUMED_BASELINE_FPS, 3),
+        "vs_baseline": round(worst["fps"] / ASSUMED_BASELINE_FPS, 3),
         "detail": {
-            "tracking_iter_ms": round(track_frame_s / TRACK_ITERS * 1e3, 2),
-            "tracking_frame_s": round(track_frame_s, 3),
-            "mapping_iter_ms": round(map_frame_s / MAP_ITERS * 1e3, 2),
-            "mapping_frame_s": round(map_frame_s, 3),
-            "n_gaussians": N_GAUSS,
-            "bin_overflow_pairs": dropped,
+            "headline": worst,
+            "sweep": sweep,
+            "max_per_tile": rc.max_per_tile,
+            "track_max_per_tile": rc.track_max_per_tile,
             "device": str(jax.devices()[0]),
         },
     }

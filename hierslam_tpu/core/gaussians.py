@@ -57,7 +57,11 @@ def backproject(
     z = depth.reshape(-1)
     pts_cam = jnp.stack([xx * z, yy * z, z], -1)
     c2w = jnp.linalg.inv(w2c)
-    return pts_cam @ c2w[:3, :3].T + c2w[:3, 3]
+    # f32-exact: default TPU matmul is single-pass bf16 (mm-scale error)
+    return (
+        jnp.dot(pts_cam, c2w[:3, :3].T, precision=jax.lax.Precision.HIGHEST)
+        + c2w[:3, 3]
+    )
 
 
 def mean_sq_dist_projective(depth: jax.Array, intrinsics: jax.Array) -> jax.Array:

@@ -99,8 +99,15 @@ def build_w2c(cam_quat: jax.Array, cam_trans: jax.Array) -> jax.Array:
 
 
 def transform_points(T: jax.Array, pts: jax.Array) -> jax.Array:
-    """Apply a 4x4 homogeneous transform to ``[N, 3]`` points."""
-    return pts @ T[:3, :3].T + T[:3, 3]
+    """Apply a 4x4 homogeneous transform to ``[N, 3]`` points.
+
+    f32-exact matmul: TPU XLA's default single-pass-bf16 MXU lowering
+    would quantize world positions at ~4e-3 relative (millimeters at room
+    scale) — far above the SLAM accuracy target."""
+    return (
+        jnp.dot(pts, T[:3, :3].T, precision=jax.lax.Precision.HIGHEST)
+        + T[:3, 3]
+    )
 
 
 def transform_to_frame(

@@ -37,7 +37,10 @@ def quat_scale_to_cov3d(rotations: jax.Array, scales: jax.Array, mod: float = 1.
 
     R = quat_to_rotmat(rotations)              # [N, 3, 3]
     M = R * (mod * scales)[:, None, :]         # R @ diag(s): scale columns
-    return M @ jnp.swapaxes(M, -1, -2)         # [N, 3, 3]
+    # f32-exact (TPU default matmul is single-pass bf16)
+    return jnp.matmul(
+        M, jnp.swapaxes(M, -1, -2), precision=jax.lax.Precision.HIGHEST
+    )                                          # [N, 3, 3]
 
 
 def ndc2pix(v: jax.Array, size: int) -> jax.Array:

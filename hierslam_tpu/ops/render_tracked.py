@@ -98,12 +98,19 @@ def render_tracked(
     grid_y, grid_x = grid
 
     w2c = transforms.build_w2c(transforms.normalize(q), t)
-    m = cache.means_world @ w2c[:3, :3].T + w2c[:3, 3]  # [T, K, 3] camera frame
+    # f32-exact matmuls (HIGHEST): TPU's default single-pass-bf16 MXU
+    # lowering would quantize camera-frame positions at ~4e-3 relative —
+    # whole pixels of screen-space error at this resolution.
+    m = (
+        jnp.dot(cache.means_world, w2c[:3, :3].T,
+                precision=jax.lax.Precision.HIGHEST)
+        + w2c[:3, 3]
+    )  # [T, K, 3] camera frame
     z = m[..., 2]
     in_front = z > 0.2  # auxiliary.h:139-162
 
     full = jnp.asarray(camera.full_proj)
-    p_hom = m @ full[:, :3].T + full[:, 3]
+    p_hom = jnp.dot(m, full[:, :3].T, precision=jax.lax.Precision.HIGHEST) + full[:, 3]
     p_w = 1.0 / (p_hom[..., 3] + 1e-7)
     xy = jnp.stack(
         [

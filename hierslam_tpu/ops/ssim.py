@@ -34,13 +34,21 @@ def _filter(img: jax.Array, win: jax.Array) -> jax.Array:
     lhs = img[None]
     rv = jnp.broadcast_to(g1[None, None, :, None], (c, 1, k, 1))
     rh = jnp.broadcast_to(g1[None, None, None, :], (c, 1, 1, k))
+    # precision=HIGHEST is load-bearing: TPU XLA lowers f32 convs to
+    # single-pass bf16 on the MXU by default, and the SSIM variance
+    # E[x^2] - mu^2 then cancels at bf16 precision — variances come out
+    # negative by ~3e-3, the (sigma1+sigma2+C2) denominator flips sign, and
+    # SSIM explodes to +-1e6 (observed as mapping-gradient spikes -> NaN on
+    # the first real-scale run; CPU tests never see it, f32 convs there).
     out = jax.lax.conv_general_dilated(
         lhs, rv, (1, 1), [(k // 2, k // 2), (0, 0)], feature_group_count=c,
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        precision=jax.lax.Precision.HIGHEST,
     )
     out = jax.lax.conv_general_dilated(
         out, rh, (1, 1), [(0, 0), (k // 2, k // 2)], feature_group_count=c,
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        precision=jax.lax.Precision.HIGHEST,
     )
     return out[0]
 

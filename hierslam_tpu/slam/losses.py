@@ -78,7 +78,11 @@ def cross_entropy_mean_cmajor(logits: jax.Array, labels: jax.Array) -> jax.Array
 def mlp_apply(mlp: Params, sem_img: jax.Array) -> jax.Array:
     """1x1 conv decoder: [S, H, W] -> [L, H, W]
     (torch.nn.Conv2d(num_semantic, num_leaf, 1), scripts/hierslam.py:1756)."""
-    return jnp.einsum("shw,ls->lhw", sem_img, mlp["w"]) + mlp["b"][:, None, None]
+    return (
+        jnp.einsum("shw,ls->lhw", sem_img, mlp["w"],
+                   precision=jax.lax.Precision.HIGHEST)
+        + mlp["b"][:, None, None]
+    )
 
 
 def mlp_init(num_semantic: int, num_leaf: int, key: jax.Array) -> Params:

@@ -393,13 +393,38 @@ class SLAMRunner:
                 self.rng.integers(0, len(window_frames), cfg["mapping"]["num_iters"]),
                 jnp.int32,
             )
+            pre_state = None
+            if cfg.get("nan_autopsy"):
+                pre_state = jax.device_get(
+                    (self.params, self.variables, self.mlp, self.mlp_state)
+                )
             (self.params, self.variables, self.mlp, self.mlp_state, losses) = self.mapper(
                 self.params, self.variables, window, rand_idx, self.mlp, self.mlp_state
             )
             jax.block_until_ready(losses)
+            final_loss = float(losses[-1])
+            if pre_state is not None and not np.isfinite(final_loss):
+                # dump the exact pre-phase state + inputs so the divergence
+                # can be replayed offline (tools/nan_autopsy.py)
+                path = os.path.join(self.output_dir, f"nan_autopsy_{t}.npz")
+                p0, v0, mlp0, ms0 = pre_state
+                blob = {f"param.{k}": v for k, v in p0.items()}
+                blob.update({f"var.{k}": np.asarray(v) for k, v in v0.items()})
+                if mlp0 is not None:
+                    blob.update({f"mlp.{k}": v for k, v in mlp0.items()})
+                blob.update(
+                    {f"window.{k}": np.asarray(v) for k, v in window.items()}
+                )
+                blob["rand_idx"] = np.asarray(rand_idx)
+                blob["losses"] = np.asarray(losses)
+                np.savez_compressed(path, **blob)
+                raise RuntimeError(
+                    f"mapping loss went non-finite at frame {t}; "
+                    f"pre-phase state saved to {path}"
+                )
             self.logger.log(
                 t,
-                mapping_loss=float(losses[-1]),
+                mapping_loss=final_loss,
                 n_active=int(self.variables["n_active"]),
             )
             dm = time.time() - m0

@@ -39,6 +39,7 @@ def build_config(basedir, workdir, W, H, max_per_tile, map_every, capacity):
         save_checkpoints=False,
         checkpoint_interval=500,
         use_wandb=False,
+        nan_autopsy=os.environ.get("RS_AUTOPSY", "0") == "1",
         map_capacity=capacity,
         raster=dict(
             max_per_tile=max_per_tile, gaussian_chunk=256, tile_batch=48,
