@@ -63,6 +63,17 @@ class RasterConfig:
                                       # gaussians — a smaller K cuts the
                                       # per-iteration blend cost linearly;
                                       # drops are counted like any overflow.
+    densify_max_per_tile: int = 0     # per-tile K for the densify
+                                      # non-presence render (0 = 2x
+                                      # max_per_tile, capped at 4096).  At
+                                      # real densities a truncated K leaves
+                                      # silhouette holes behind in-tile
+                                      # depth discontinuities, and those
+                                      # pixels get re-densified every phase
+                                      # (unbounded map bloat); the densify
+                                      # render is forward-only and runs
+                                      # once per phase, so a generous K is
+                                      # near-free.
 
     def __post_init__(self):
         if self.backend not in ("pallas", "xla"):

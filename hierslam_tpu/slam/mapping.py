@@ -50,14 +50,26 @@ class PruneConfig:
 
 
 def make_densifier(camera, raster_cfg: RasterConfig, sil_thres: float, num_semantic: int):
-    """Jitted add-new-gaussians step for the current frame."""
+    """Jitted add-new-gaussians step for the current frame.
+
+    The non-presence render uses ``densify_max_per_tile`` (default 2x the
+    optimization K): at real densities a truncated per-tile list leaves
+    silhouette holes behind in-tile depth discontinuities, and every holed
+    pixel is re-densified each phase — unbounded map bloat.  This render is
+    forward-only, once per phase, so a generous K costs almost nothing."""
+    from dataclasses import replace as _dc_replace
+
+    k_dens = raster_cfg.densify_max_per_tile or min(
+        2 * raster_cfg.max_per_tile, 4096
+    )
+    dens_cfg = _dc_replace(raster_cfg, max_per_tile=k_dens)
 
     @jax.jit
     def densify(params: Params, variables: Dict, im_gt, depth_gt, time_idx, key):
         q = params["cam_unnorm_rots"][0, :, time_idx]
         t = params["cam_trans"][0, :, time_idx]
         out = render_gaussians(
-            params, variables["active"], q, t, camera, raster_cfg,
+            params, variables["active"], q, t, camera, dens_cfg,
             with_semantic=False, gaussians_grad=False, camera_grad=False,
         )
         sil = out.final_opacity
