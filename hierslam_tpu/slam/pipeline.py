@@ -223,6 +223,53 @@ class SLAMRunner:
             self.config.get("raster", {}).get("overflow_warn_threshold", 100_000)
         )
 
+        # ---- active-prefix compute bucket --------------------------------
+        # Used slots always form a prefix [0, n_active) (inserts append,
+        # pruning only clears bits), so every per-gaussian stage can run on
+        # a sliced prefix rounded up to a bucket — per-iteration cost then
+        # scales with the LIVE map, not map_capacity (at 2.5M capacity and
+        # 800k live this is a ~3x cut of preprocess/binning/adam work).
+        # Each distinct bucket size is one extra XLA compile (persistently
+        # cached); the step size bounds how many exist.
+        self.capacity = capacity
+        self.bucket_step = int(config.get("bucket_step", 512 * 1024))
+        self.bucket_headroom = int(config.get("bucket_headroom", 256 * 1024))
+        self.bucket = self._choose_bucket()
+
+    # ------------------------------------------------------------------
+    def _choose_bucket(self) -> int:
+        need = int(self.variables["n_active"]) + self.bucket_headroom
+        b = -(-need // self.bucket_step) * self.bucket_step
+        return min(self.capacity, b)
+
+    def _sliced_state(self):
+        b = self.bucket
+        p = {
+            k: (v[:b] if k in G.GAUSSIAN_KEYS else v)
+            for k, v in self.params.items()
+        }
+        v = {
+            k: (val[:b] if val.ndim >= 1 and val.shape[0] == self.capacity else val)
+            for k, val in self.variables.items()
+        }
+        return p, v
+
+    def _merge_params(self, p_b) -> None:
+        b = self.bucket
+        for k, v in p_b.items():
+            if k in G.GAUSSIAN_KEYS:
+                self.params[k] = self.params[k].at[:b].set(v)
+            else:
+                self.params[k] = v
+
+    def _merge_variables(self, v_b) -> None:
+        b = self.bucket
+        for k, v in v_b.items():
+            if hasattr(v, "ndim") and v.ndim >= 1 and self.variables[k].shape[0] == self.capacity:
+                self.variables[k] = self.variables[k].at[:b].set(v)
+            else:
+                self.variables[k] = v
+
     # ------------------------------------------------------------------
     def _resume(self, ckpt_t: int):
         """Reload params{t}.npz + keyframe indices, replay GT-pose
@@ -311,9 +358,9 @@ class SLAMRunner:
         # (A) tracking
         t0 = time.time()
         if t > 0 and not cfg["tracking"]["use_gt_poses"]:
-            self.params, bloss, maxrad, trace, carry = self.tracker(
-                self.params, self.variables["active"],
-                self.variables["max_2D_radius"], im, depth, t,
+            p_b, v_b = self._sliced_state()
+            p_b, bloss, maxrad, trace, carry = self.tracker(
+                p_b, v_b["active"], v_b["max_2D_radius"], im, depth, t,
             )
             # depth-loss escape hatch (scripts/hierslam.py:1877-1888): when
             # enabled and the final depth loss is still above the threshold,
@@ -323,14 +370,16 @@ class SLAMRunner:
             if cfg["tracking"]["use_depth_loss_thres"]:
                 d_last = float(trace[1][-1])
                 if d_last >= cfg["tracking"]["depth_loss_thres"]:
-                    self.params, bloss, maxrad, trace, carry = (
+                    p_b, bloss, maxrad, trace, carry = (
                         self.tracker.continue_round(
-                            self.params, self.variables["active"],
-                            im, depth, t, carry,
+                            p_b, v_b["active"], im, depth, t, carry,
                         )
                     )
             bloss.block_until_ready()
-            self.variables["max_2D_radius"] = maxrad
+            self._merge_params(p_b)
+            self.variables["max_2D_radius"] = (
+                self.variables["max_2D_radius"].at[: self.bucket].set(maxrad)
+            )
             self.logger.log(t, tracking_loss=float(bloss))
             n_it = cfg["tracking"]["num_iters"]
             dt = time.time() - t0
@@ -352,9 +401,22 @@ class SLAMRunner:
             m0 = time.time()
             if cfg["mapping"].get("add_new_gaussians", True) and t > 0:
                 self.key, sub = jax.random.split(self.key)
-                self.params, self.variables, n_added, n_over, n_bin_drop = self.densifier(
-                    self.params, self.variables, im, depth, jnp.asarray(t), sub
+                p_b, v_b = self._sliced_state()
+                p_b, v_b, n_added, n_over, n_bin_drop = self.densifier(
+                    p_b, v_b, im, depth, jnp.asarray(t), sub
                 )
+                if int(n_over) > 0 and self.bucket < self.capacity:
+                    # bucket (not capacity) overflow: grow and redo from the
+                    # untouched full state
+                    self.bucket = min(
+                        self.capacity, self.bucket + self.bucket_step
+                    )
+                    p_b, v_b = self._sliced_state()
+                    p_b, v_b, n_added, n_over, n_bin_drop = self.densifier(
+                        p_b, v_b, im, depth, jnp.asarray(t), sub
+                    )
+                self._merge_params(p_b)
+                self._merge_variables(v_b)
                 self.stats["densify_added"] += int(n_added)
                 self.stats["densify_overflow"] += int(n_over)
                 n_bin_drop = int(n_bin_drop)
@@ -393,15 +455,20 @@ class SLAMRunner:
                 self.rng.integers(0, len(window_frames), cfg["mapping"]["num_iters"]),
                 jnp.int32,
             )
+            p_b, v_b = self._sliced_state()
             pre_state = None
             if cfg.get("nan_autopsy"):
-                pre_state = jax.device_get(
-                    (self.params, self.variables, self.mlp, self.mlp_state)
-                )
-            (self.params, self.variables, self.mlp, self.mlp_state, losses) = self.mapper(
-                self.params, self.variables, window, rand_idx, self.mlp, self.mlp_state
+                pre_state = jax.device_get((p_b, v_b, self.mlp, self.mlp_state))
+            (p_b, v_b, self.mlp, self.mlp_state, losses) = self.mapper(
+                p_b, v_b, window, rand_idx, self.mlp, self.mlp_state
             )
             jax.block_until_ready(losses)
+            self._merge_params(p_b)
+            self._merge_variables(v_b)
+            # keep headroom for the next phases' insertions (grow-only:
+            # shrinking would churn recompiles, and prune holes never
+            # decrease the used-slot prefix)
+            self.bucket = max(self.bucket, self._choose_bucket())
             final_loss = float(losses[-1])
             if pre_state is not None and not np.isfinite(final_loss):
                 # dump the exact pre-phase state + inputs so the divergence
