@@ -31,7 +31,7 @@ from hierslam_tpu.slam.losses import LossConfig, mlp_init
 from hierslam_tpu.slam.mapping import PruneConfig, make_mapper
 
 H, W = 680, 1200
-N_GAUSS = 300_000
+N_GAUSS = int(os.environ.get("PROFILE_N", "300000"))
 N_SEM = 26
 MAP_ITERS = 60
 WINDOW = 24
