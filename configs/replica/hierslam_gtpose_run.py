@@ -40,7 +40,7 @@ config = dict(
     use_wandb=False,
     # --- TPU-specific ---
     map_capacity=4_000_000,
-    raster=dict(tile_shape=(16, 16), max_per_tile=2048, gaussian_chunk=256, tile_batch=48,
+    raster=dict(tile_shape=(16, 16), max_per_tile=1024, gaussian_chunk=256, tile_batch=48,
                 grad_pair_budget=3_000_000, grad_bf16=True, track_max_per_tile=512),
     model=dict(
         flag_use_embedding=0,
