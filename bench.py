@@ -141,7 +141,7 @@ def bench_size(n_gauss, camera, rc, rng, key):
 
     def run_map():
         p2, v2, m2, ms2, losses = mapper(params, variables, window, rand_idx, mlp, mlp_state)
-        return float(losses[-1])  # scalar fetch = reliable completion fence
+        return float(losses["loss"][-1])  # scalar fetch = reliable completion fence
 
     t0 = time.time()
     run_map()  # compile
@@ -178,10 +178,19 @@ def main():
     rng = np.random.default_rng(0)
     key = jax.random.PRNGKey(0)
     camera = setup_camera(W, H, intrinsics_matrix(600.0, 600.0, 599.5, 339.5), np.eye(4))
-    rc = RasterConfig(
-        max_per_tile=512, gaussian_chunk=256, tile_batch=48,
-        grad_pair_budget=1_500_000, grad_bf16=True, track_max_per_tile=256,
-    )
+
+    # ONE source of truth for the raster knobs: the flagship shipped config
+    # (configs/replica/hierslam_semantic_run.py) — the bench measures the
+    # per-tile caps / budgets a real run would actually use.
+    from importlib.machinery import SourceFileLoader
+
+    shipped = SourceFileLoader(
+        "hierslam_semantic_run",
+        "configs/replica/hierslam_semantic_run.py",
+    ).load_module().config
+    from hierslam_tpu.config import raster_config
+
+    rc = raster_config(shipped)
 
     sweep = [bench_size(n, camera, rc, rng, key) for n in N_SWEEP]
     worst = min(sweep, key=lambda r: r["fps"])
@@ -193,8 +202,10 @@ def main():
         "detail": {
             "headline": worst,
             "sweep": sweep,
+            "raster_knobs": dict(shipped["raster"], source="configs/replica/hierslam_semantic_run.py"),
             "max_per_tile": rc.max_per_tile,
             "track_max_per_tile": rc.track_max_per_tile,
+            "grad_pair_budget": rc.grad_pair_budget,
             "device": str(jax.devices()[0]),
         },
     }

@@ -173,6 +173,63 @@ def pointcloud_fields(
     return fields
 
 
+PER_GAUSSIAN_VARS = (
+    "active", "max_2D_radius", "means2D_gradient_accum", "denom", "timestep"
+)
+
+
+@jax.jit
+def compact_slots(params: Params, variables: Variables) -> Tuple[Params, Variables]:
+    """Stable-partition live rows to the front of every capacity array.
+
+    Pruning only clears ``active`` bits, so long runs accumulate holes in
+    the [0, n_active) prefix and the active-prefix compute bucket keeps
+    paying for dead slots; once ``n_active`` reaches capacity, insertion
+    stops forever even though live gaussians may be far fewer.  Compaction
+    reclaims the holes as reusable append slots (the reference reclaims by
+    physically reallocating smaller tensors, utils/slam_external.py:139-160).
+
+    Relative order of live rows is preserved (stable partition), matching
+    the reference's boolean-mask row removal.
+    """
+    active = variables["active"]
+    # stable argsort of (not active): live rows first, original order kept
+    order = jnp.argsort(~active, stable=True).astype(jnp.int32)
+    out = dict(params)
+    for k in GAUSSIAN_KEYS:
+        if k in params:
+            out[k] = params[k][order]
+    v = dict(variables)
+    for k in PER_GAUSSIAN_VARS:
+        v[k] = variables[k][order]
+    v["n_active"] = jnp.sum(active.astype(jnp.int32))
+    return out, v
+
+
+@jax.jit
+def emergency_prune(
+    params: Params, variables: Variables, need_free, max_fraction=0.2
+) -> Tuple[Variables, jax.Array]:
+    """Deactivate the ``need_free`` least-opaque live gaussians (capped at
+    ``max_fraction`` of the live map).  Escalating prune pressure for
+    capacity saturation: the map keeps its most confident geometry and
+    densification regains room.  Returns (variables, n_freed)."""
+    active = variables["active"]
+    n_live = jnp.sum(active.astype(jnp.int32))
+    k = jnp.minimum(
+        jnp.asarray(need_free, jnp.int32),
+        (max_fraction * n_live.astype(jnp.float32)).astype(jnp.int32),
+    )
+    opa = jnp.where(active, params["logit_opacities"][:, 0], jnp.inf)
+    srt = jnp.sort(opa)
+    # threshold at the k-th smallest live opacity (k=0 -> -inf: none pruned)
+    thresh = jnp.where(k > 0, srt[jnp.maximum(k - 1, 0)], -jnp.inf)
+    drop = active & (opa <= thresh)
+    v = dict(variables)
+    v["active"] = active & ~drop
+    return v, jnp.sum(drop.astype(jnp.int32))
+
+
 def active_params_to_numpy(params: Params, variables: Variables) -> Dict[str, "object"]:
     """Host-side compaction to live rows only, for `params.npz` artifacts
     (matches the dynamic-shape arrays the reference saves)."""

@@ -108,12 +108,17 @@ def render_gaussians(
     camera_grad: bool,
     pixel_offset_y=0.0,
     binning_cache=None,
+    means2D_offset=None,
 ) -> RenderOutput:
     """transform_to_frame + activation packing + rasterize.
 
     Activations follow transformed_params2rendervar_semantic
     (utils/slam_helpers.py:195-219): sigmoid opacity, exp scale (isotropic
-    tiled x3), normalized quats, raw semantic logits."""
+    tiled x3), normalized quats, raw semantic logits.
+
+    ``means2D_offset`` ([N, 2], zeros) is the classic-densification gradient
+    hook: its cotangent is dL/d(screen-space mean), the reference's
+    retain_grad'ed dummy means2D (scripts/hierslam.py:754)."""
     means_cam, rots = transforms.transform_to_frame(
         params["means3D"],
         params["unnorm_rotations"],
@@ -139,6 +144,7 @@ def render_gaussians(
         config=raster_cfg,
         pixel_offset_y=pixel_offset_y,
         binning_cache=binning_cache,
+        means2D_offset=means2D_offset,
     )
 
 

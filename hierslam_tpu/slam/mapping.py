@@ -15,6 +15,7 @@ Mirrors the mapping phase of scripts/hierslam.py:1929-2104:
 """
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 from typing import Dict, Optional, Tuple
 
@@ -109,6 +110,7 @@ def make_mapper(
     prune_cfg: PruneConfig,
     mlp_lr: float = 5e-4,
     bin_margin_px: float = 8.0,
+    densify_cfg=None,
 ):
     """Build the jitted mapping-phase function.
 
@@ -121,8 +123,25 @@ def make_mapper(
     drift only ~lr*iters during a phase); the per-iteration render re-applies
     the exact current-parameter rect/frustum culling, so semantics match
     fresh binning up to the margin (see ops/rasterize.py).
+
+    ``densify_cfg`` (a :class:`~hierslam_tpu.slam.densify_classic
+    .DensifyConfig`) enables classic 3DGS clone/split densification inside
+    the phase — the ``use_gaussian_splatting_densification`` path of the
+    reference (scripts/hierslam.py:2043-2051, utils/slam_external.py:191-243):
+    per-iteration ``||dL/d means2D||`` accumulation over seen Gaussians,
+    then clone/split/prune on the densify schedule.  The schedule is static
+    (start/stop/every and num_iters are Python ints), so the iteration scan
+    is SEGMENTED at densify events and the window binning is rebuilt per
+    segment — newly inserted Gaussians render from the very next iteration,
+    matching the reference's per-render re-sort.
     """
     with_sem = bool(loss_cfg.sem_levels)
+    use_classic = densify_cfg is not None
+    if use_classic:
+        from hierslam_tpu.slam.densify_classic import (
+            accumulate_mean2d_gradient,
+            densify_step,
+        )
 
     @jax.jit
     def map_phase(
@@ -132,6 +151,7 @@ def make_mapper(
         rand_idx: jax.Array,          # [num_iters] int32 into the window
         mlp: Optional[Params],
         mlp_state: Optional[optim.AdamState],
+        key: Optional[jax.Array] = None,
     ):
         gauss_keys = [k for k in G.GAUSSIAN_KEYS if k in params]
         gp = {k: params[k] for k in gauss_keys}
@@ -144,32 +164,34 @@ def make_mapper(
         wq = jax.lax.stop_gradient(wq)
         wt = jax.lax.stop_gradient(wt)
 
-        # --- per-window-frame amortized binning (once per phase) ---------
+        # --- per-window-frame amortized binning (per scan segment) -------
         from hierslam_tpu.core import transforms as _tf
         from hierslam_tpu.ops.rasterize import compute_binning as _cb
 
-        sg_params = jax.lax.stop_gradient(params)
-        scales0 = jnp.exp(sg_params["log_scales"])
+        def bin_window(gp_now, variables_now):
+            sg = jax.lax.stop_gradient(gp_now)
+            scales0 = jnp.exp(sg["log_scales"])
 
-        def bin_one(qt):
-            q, t_ = qt
-            means_cam, _ = _tf.transform_to_frame(
-                sg_params["means3D"], sg_params["unnorm_rotations"], q, t_,
-                gaussians_grad=False, camera_grad=False,
-            )
-            return _cb(
-                means_cam, scales0, sg_params["unnorm_rotations"], camera,
-                raster_cfg, active=variables["active"], margin_px=bin_margin_px,
-            )
+            def bin_one(qt):
+                q, t_ = qt
+                means_cam, _ = _tf.transform_to_frame(
+                    sg["means3D"], sg["unnorm_rotations"], q, t_,
+                    gaussians_grad=False, camera_grad=False,
+                )
+                return _cb(
+                    means_cam, scales0, sg["unnorm_rotations"], camera,
+                    raster_cfg, active=variables_now["active"],
+                    margin_px=bin_margin_px,
+                )
 
-        # Binning over the window in batches of 4 frames: full vmap would
-        # materialize [W, N, R] pair arrays (24 frames x 2M slots x 16 =
-        # 24GB at capacity — OOM), while a fully sequential map loses the
-        # batched-sort amortization.  4 frames bounds the peak at
-        # ~4*N*R pairs and still fuses the per-frame sorts.
-        binnings = jax.lax.map(bin_one, (wq, wt), batch_size=4)
+            # Binning over the window in batches of 4 frames: full vmap
+            # would materialize [W, N, R] pair arrays (24 frames x 2M slots
+            # x 16 = 24GB at capacity — OOM), while a fully sequential map
+            # loses the batched-sort amortization.  4 frames bounds the
+            # peak at ~4*N*R pairs and still fuses the per-frame sorts.
+            return jax.lax.map(bin_one, (wq, wt), batch_size=4)
 
-        def body(carry, it):
+        def body_with_binnings(binnings, carry, it):
             gp, variables, opt, mlp, mlp_state = carry
             k = rand_idx[it]
             im_gt = window["im"][k]
@@ -177,29 +199,40 @@ def make_mapper(
             labels = window["labels"][k] if "labels" in window else None
             q, t = wq[k], wt[k]
             bc = jax.tree_util.tree_map(lambda x: x[k], binnings)
+            m2d0 = jnp.zeros((gp["means3D"].shape[0], 2), jnp.float32)
 
-            def loss_fn(gp_, mlp_):
+            def loss_fn(gp_, mlp_, m2d_):
                 full = dict(params)
                 full.update(gp_)
                 out = render_gaussians(
                     full, variables["active"], q, t, camera, raster_cfg,
                     with_semantic=with_sem, gaussians_grad=True, camera_grad=False,
                     binning_cache=bc,
+                    means2D_offset=m2d_ if use_classic else None,
                 )
                 loss, parts = mapping_loss(
                     out, im_gt, depth_gt, labels, mlp_, it, loss_cfg
                 )
                 return loss, (out.radii, parts)
 
-            if with_sem and loss_cfg.use_mlp:
-                (loss, (radii, parts)), (ggp, gmlp) = jax.value_and_grad(
-                    loss_fn, argnums=(0, 1), has_aux=True
-                )(gp, mlp)
-            else:
-                (loss, (radii, parts)), ggp = jax.value_and_grad(
-                    loss_fn, has_aux=True
-                )(gp, mlp)
-                gmlp = None
+            wants_mlp = with_sem and loss_cfg.use_mlp
+            argnums = tuple(
+                i for i, on in enumerate((True, wants_mlp, use_classic)) if on
+            )
+            (loss, (radii, parts)), grads = jax.value_and_grad(
+                loss_fn, argnums=argnums, has_aux=True
+            )(gp, mlp, m2d0)
+            grads = list(grads)
+            ggp = grads.pop(0)
+            gmlp = grads.pop(0) if wants_mlp else None
+            gm2d = grads.pop(0) if use_classic else None
+
+            if use_classic:
+                # reference: variables = accumulate_mean2d_gradient(...) on
+                # seen (radius > 0) gaussians (utils/slam_external.py:100-104)
+                variables = accumulate_mean2d_gradient(
+                    variables, gm2d, radii > 0
+                )
 
             # --- prune (reference order: backward -> prune -> step;
             # scripts/hierslam.py:2037-2053) ---
@@ -253,14 +286,61 @@ def make_mapper(
                 jnp.maximum(variables["max_2D_radius"], radf),
                 variables["max_2D_radius"],
             )
-            return (gp, variables, opt, mlp, mlp_state), parts["loss"]
+            # full per-iteration loss breakdown (the reference wandb-logs
+            # every mapping iteration via report_loss[_semantic],
+            # utils/eval_helpers.py:277-339)
+            return (gp, variables, opt, mlp, mlp_state), parts
 
-        carry, losses = jax.lax.scan(
-            body,
-            (gp, variables, opt, mlp, mlp_state),
-            jnp.arange(num_iters, dtype=jnp.int32),
-        )
+        # --- densify schedule (static) -> scan segments -------------------
+        # Reference schedule (utils/slam_external.py:195): densify fires at
+        # iterations i with start_after < i <= stop_after, i % every == 0.
+        if use_classic:
+            events = [
+                i for i in range(num_iters)
+                if densify_cfg.start_after < i <= densify_cfg.stop_after
+                and i % densify_cfg.densify_every == 0
+            ]
+        else:
+            events = []
+        bounds = [0] + [e + 1 for e in events]
+        if not bounds or bounds[-1] != num_iters:
+            bounds.append(num_iters)
+        segments = list(zip(bounds[:-1], bounds[1:]))
+
+        carry = (gp, variables, opt, mlp, mlp_state)
+        loss_chunks = []
+        dkey = key if key is not None else jax.random.PRNGKey(0)
+        n_classic_over = jnp.zeros((), jnp.int32)
+        for si, (lo, hi) in enumerate(segments):
+            gp, variables, opt, mlp, mlp_state = carry
+            binnings = bin_window(gp, variables)
+            carry, losses_seg = jax.lax.scan(
+                functools.partial(body_with_binnings, binnings),
+                carry,
+                jnp.arange(lo, hi, dtype=jnp.int32),
+            )
+            loss_chunks.append(losses_seg)
+            if use_classic and (hi - 1) in events:
+                gp, variables, opt, mlp, mlp_state = carry
+                dkey, sub = jax.random.split(dkey)
+                full = dict(params)
+                full.update(gp)
+                full, variables, opt, n_over = densify_step(
+                    full, variables, opt, hi - 1, densify_cfg, sub
+                )
+                n_classic_over = n_classic_over + n_over
+                gp = {k: full[k] for k in gauss_keys}
+                carry = (gp, variables, opt, mlp, mlp_state)
+
         gp, variables, _, mlp, mlp_state = carry
+        losses = jax.tree_util.tree_map(
+            lambda *xs: jnp.concatenate(xs, axis=0), *loss_chunks
+        )
+        if use_classic:
+            losses = dict(losses)
+            losses["classic_densify_overflow"] = jnp.broadcast_to(
+                n_classic_over.astype(jnp.float32), (num_iters,)
+            )
         out_params = dict(params)
         out_params.update(gp)
         return out_params, variables, mlp, mlp_state, losses

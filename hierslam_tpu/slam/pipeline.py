@@ -172,10 +172,22 @@ class SLAMRunner:
         }) if mcfg.get("prune_gaussians", False) else None
         self.prune_enabled = prune is not None
         map_lrs = {k: v for k, v in mcfg["lrs"].items() if k in G.GAUSSIAN_KEYS}
+        # classic 3DGS clone/split densification
+        # (use_gaussian_splatting_densification, scripts/hierslam.py:2047)
+        densify_cfg = None
+        if mcfg.get("use_gaussian_splatting_densification", False):
+            from hierslam_tpu.slam.densify_classic import DensifyConfig
+
+            densify_cfg = DensifyConfig(**{
+                k: mcfg.get("densify_dict", {})[k]
+                for k in DensifyConfig.__dataclass_fields__
+                if k in mcfg.get("densify_dict", {})
+            })
         self.mapper = make_mapper(
             self.camera, map_loss, rc, map_lrs,
             num_iters=mcfg["num_iters"],
             prune_cfg=prune or PruneConfig(start_after=10**9),
+            densify_cfg=densify_cfg,
         )
         self.densifier = make_densifier(
             self.camera, rc, mcfg["sil_thres"], self.num_semantic
@@ -218,6 +230,7 @@ class SLAMRunner:
             mapping_frame_time_sum=0.0, mapping_frame_time_count=0,
             densify_added=0, densify_overflow=0,
             bin_overflow_last=0, bin_overflow_max=0,
+            compactions=0, slots_reclaimed=0, emergency_pruned=0,
         )
         self.overflow_warn_threshold = int(
             self.config.get("raster", {}).get("overflow_warn_threshold", 100_000)
@@ -235,6 +248,10 @@ class SLAMRunner:
         self.bucket_step = int(config.get("bucket_step", 512 * 1024))
         self.bucket_headroom = int(config.get("bucket_headroom", 256 * 1024))
         self.bucket = self._choose_bucket()
+        # compact when pruning has opened this many reclaimable holes
+        self.hole_compact_threshold = int(
+            config.get("hole_compact_threshold", self.bucket_step)
+        )
 
     # ------------------------------------------------------------------
     def _choose_bucket(self) -> int:
@@ -269,6 +286,49 @@ class SLAMRunner:
                 self.variables[k] = self.variables[k].at[:b].set(v)
             else:
                 self.variables[k] = v
+
+    # ------------------------------------------------------------------
+    # capacity-slot maintenance (VERDICT r2 #4: react to densify overflow)
+    def _holes(self) -> int:
+        """Dead slots inside the used prefix (pruned but not reclaimed)."""
+        return int(self.variables["n_active"]) - int(
+            jnp.sum(self.variables["active"])
+        )
+
+    def _compact(self, reason: str) -> None:
+        """Stable-partition live rows to the front, reclaiming prune holes
+        as append slots; shrinks the compute bucket when possible."""
+        holes = self._holes()
+        self.params, self.variables = G.compact_slots(self.params, self.variables)
+        self.stats["compactions"] += 1
+        self.stats["slots_reclaimed"] += holes
+        self.bucket = self._choose_bucket()
+        self.logger.log(
+            -1, compaction_reason=reason, slots_reclaimed=holes,
+            n_active=int(self.variables["n_active"]),
+        )
+
+    def _escalated_prune(self, need_free: int, t: int) -> bool:
+        """Escalating prune pressure under capacity saturation: drop the
+        least-opaque live gaussians (<= 20% of the live map), then compact.
+        Returns False when nothing could be freed."""
+        headroom = max(need_free, self.bucket_headroom // 4)
+        self.variables, n_freed = G.emergency_prune(
+            self.params, self.variables, headroom
+        )
+        n_freed = int(n_freed)
+        if n_freed == 0:
+            return False
+        import warnings
+
+        warnings.warn(
+            f"frame {t}: capacity saturated — escalated prune dropped the "
+            f"{n_freed} least-opaque gaussians to make room"
+        )
+        self.stats["emergency_pruned"] += n_freed
+        self.logger.log(t, emergency_pruned=n_freed)
+        self._compact(f"escalated prune at frame {t}")
+        return True
 
     # ------------------------------------------------------------------
     def _resume(self, ckpt_t: int):
@@ -381,6 +441,10 @@ class SLAMRunner:
                 self.variables["max_2D_radius"].at[: self.bucket].set(maxrad)
             )
             self.logger.log(t, tracking_loss=float(bloss))
+            self.logger.log_iters(
+                t, "tracking",
+                {"loss": trace[0], "depth": trace[1], "im": trace[2]},
+            )
             n_it = cfg["tracking"]["num_iters"]
             dt = time.time() - t0
             self.stats["tracking_iter_time_sum"] += dt
@@ -405,16 +469,44 @@ class SLAMRunner:
                 p_b, v_b, n_added, n_over, n_bin_drop = self.densifier(
                     p_b, v_b, im, depth, jnp.asarray(t), sub
                 )
-                if int(n_over) > 0 and self.bucket < self.capacity:
-                    # bucket (not capacity) overflow: grow and redo from the
-                    # untouched full state
-                    self.bucket = min(
-                        self.capacity, self.bucket + self.bucket_step
-                    )
+                # Capacity-saturation remediation ladder (REAL_SHAPE_r02
+                # saturated at 2.5M with 2.5M overflowed insertions and the
+                # run silently degraded).  Each remedy redoes the densify
+                # from the untouched full state:
+                #   1. grow the compute bucket while below capacity;
+                #   2. compact prune holes into reusable append slots;
+                #   3. escalate prune pressure (drop the least-opaque
+                #      fraction of the live map);
+                #   4. still saturated -> loud error (configurable).
+                prune_attempts = 0
+                while int(n_over) > 0:
+                    if self.bucket < self.capacity:
+                        self.bucket = min(
+                            self.capacity, self.bucket + self.bucket_step
+                        )
+                    elif self._holes() > 0:
+                        self._compact(f"densify overflow at frame {t}")
+                    elif prune_attempts < 3 and self._escalated_prune(
+                        int(n_over), t
+                    ):
+                        prune_attempts += 1
+                    else:
+                        break
                     p_b, v_b = self._sliced_state()
                     p_b, v_b, n_added, n_over, n_bin_drop = self.densifier(
                         p_b, v_b, im, depth, jnp.asarray(t), sub
                     )
+                if int(n_over) > 0:
+                    msg = (
+                        f"frame {t}: map capacity {self.capacity} saturated — "
+                        f"{int(n_over)} new gaussians dropped even after "
+                        "compaction and escalated pruning; raise map_capacity"
+                    )
+                    if cfg["mapping"].get("on_capacity_saturated", "error") == "error":
+                        raise RuntimeError(msg)
+                    import warnings
+
+                    warnings.warn(msg)
                 self._merge_params(p_b)
                 self._merge_variables(v_b)
                 self.stats["densify_added"] += int(n_added)
@@ -459,17 +551,22 @@ class SLAMRunner:
             pre_state = None
             if cfg.get("nan_autopsy"):
                 pre_state = jax.device_get((p_b, v_b, self.mlp, self.mlp_state))
+            self.key, map_key = jax.random.split(self.key)
             (p_b, v_b, self.mlp, self.mlp_state, losses) = self.mapper(
-                p_b, v_b, window, rand_idx, self.mlp, self.mlp_state
+                p_b, v_b, window, rand_idx, self.mlp, self.mlp_state, map_key
             )
             jax.block_until_ready(losses)
             self._merge_params(p_b)
             self._merge_variables(v_b)
+            # reclaim slots when pruning has opened enough holes; otherwise
             # keep headroom for the next phases' insertions (grow-only:
-            # shrinking would churn recompiles, and prune holes never
-            # decrease the used-slot prefix)
-            self.bucket = max(self.bucket, self._choose_bucket())
-            final_loss = float(losses[-1])
+            # compaction is the only event that shrinks the bucket)
+            if self._holes() >= self.hole_compact_threshold:
+                self._compact(f"hole threshold after mapping at frame {t}")
+            else:
+                self.bucket = max(self.bucket, self._choose_bucket())
+            self.logger.log_iters(t, "mapping", losses)
+            final_loss = float(losses["loss"][-1])
             if pre_state is not None and not np.isfinite(final_loss):
                 # dump the exact pre-phase state + inputs so the divergence
                 # can be replayed offline (tools/nan_autopsy.py)
@@ -483,7 +580,7 @@ class SLAMRunner:
                     {f"window.{k}": np.asarray(v) for k, v in window.items()}
                 )
                 blob["rand_idx"] = np.asarray(rand_idx)
-                blob["losses"] = np.asarray(losses)
+                blob["losses"] = np.asarray(losses["loss"])
                 np.savez_compressed(path, **blob)
                 raise RuntimeError(
                     f"mapping loss went non-finite at frame {t}; "
@@ -572,6 +669,9 @@ class SLAMRunner:
             "densify_overflow": s["densify_overflow"],
             "bin_overflow_last": s["bin_overflow_last"],
             "bin_overflow_max": s["bin_overflow_max"],
+            "compactions": s["compactions"],
+            "slots_reclaimed": s["slots_reclaimed"],
+            "emergency_pruned": s["emergency_pruned"],
             "n_active": int(jnp.sum(self.variables["active"])),
         }
 

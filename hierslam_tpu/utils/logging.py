@@ -18,6 +18,7 @@ class RunLogger:
         self.path = os.path.join(out_dir, "metrics.jsonl")
         self._f = open(self.path, "a")
         self.t0 = time.time()
+        self._iter_counts: Dict[str, int] = {}
         self.wandb = None
         if use_wandb:
             try:
@@ -34,6 +35,33 @@ class RunLogger:
         self._f.flush()
         if self.wandb is not None:
             self.wandb.log(metrics, step=step)
+
+    def log_iters(self, frame: int, phase: str, traces: Dict):
+        """Per-iteration loss records for one tracking/mapping phase.
+
+        Equivalent of the reference's per-iteration wandb logging
+        (report_loss / report_loss_semantic, utils/eval_helpers.py:277-339):
+        one record per optimizer iteration with the loss breakdown, keyed by
+        a cumulative per-phase iteration counter.  ``traces`` maps component
+        name -> [num_iters] array.
+        """
+        import numpy as np
+
+        names = list(traces.keys())
+        cols = {k: np.asarray(traces[k], dtype=np.float64) for k in names}
+        n = len(cols[names[0]])
+        base = self._iter_counts.get(phase, 0)
+        for i in range(n):
+            rec = {"step": frame, "phase": phase, "iter": base + i}
+            rec.update({f"{phase}_{k}": float(cols[k][i]) for k in names})
+            self._f.write(json.dumps(rec) + "\n")
+            if self.wandb is not None:
+                self.wandb.log(
+                    {f"{phase.capitalize()}/{k}": float(cols[k][i]) for k in names}
+                    | {f"{phase.capitalize()}/step": base + i},
+                )
+        self._iter_counts[phase] = base + n
+        self._f.flush()
 
     def close(self):
         self._f.close()

@@ -100,6 +100,40 @@ def subset_upto_timestep(params: Dict[str, np.ndarray], t: Optional[int]):
     return out
 
 
+def semantic_point_colors(
+    sem_img: np.ndarray,          # [S, H, W] rendered semantic channels
+    colormap: np.ndarray,         # [num_classes, >=3] palette (0-255 or 0-1)
+    mlp: Optional[Dict] = None,
+    num_semantic=None,
+) -> np.ndarray:
+    """Decode rendered semantic channels to per-pixel palette colors
+    ([H, W, 3] in [0, 1]) — the in-window-loop decode of the reference's
+    semantic replay (viz_scripts/online_recon_sem_replica.py:199-338):
+    1x1-conv MLP -> argmax leaf when a decoder is given, else per-level
+    tree decode (transfer_tree_2_label semantics), else flat argmax."""
+    import jax.numpy as jnp
+
+    from hierslam_tpu.eval.metrics import decode_tree_labels
+    from hierslam_tpu.slam.losses import mlp_apply
+
+    if mlp is not None:
+        labels = np.argmax(
+            np.asarray(
+                mlp_apply({k: jnp.asarray(v) for k, v in mlp.items()},
+                          jnp.asarray(sem_img))
+            ),
+            0,
+        )
+    elif isinstance(num_semantic, (list, tuple)):
+        labels = decode_tree_labels(sem_img, list(num_semantic))[-1]
+    else:
+        labels = np.argmax(sem_img, 0)
+    cmap = np.asarray(colormap, np.float64)[:, :3]
+    if cmap.max() > 1.0:
+        cmap = cmap / 255.0
+    return cmap[np.clip(labels, 0, len(cmap) - 1)]
+
+
 def replay_step_geometry(
     params: Dict[str, np.ndarray],
     config: Dict,
@@ -108,10 +142,19 @@ def replay_step_geometry(
     viz_scale: float = 0.5,
     pcd_stride: int = 1,
     frustum_size: float = 0.045,
+    semantic: bool = False,
+    mlp: Optional[Dict] = None,
+    colormap: Optional[np.ndarray] = None,
+    num_semantic=None,
 ):
     """All display-independent geometry for replay step ``t``: the rendered
     map point cloud at the estimated pose, the camera frustum wireframe and
     the trajectory-so-far polyline.
+
+    With ``semantic=True`` (and a palette) the semantic channels are
+    rendered and decoded too, and the result carries ``sem_colors`` aligned
+    with ``points`` — the interactive semantic replay of
+    viz_scripts/online_recon_sem_replica.py / ..._scannet_large.py.
 
     Returns a dict of numpy arrays (points/colors/frustum/trajectory)."""
     import jax.numpy as jnp
@@ -130,21 +173,35 @@ def replay_step_geometry(
     camera = setup_camera(vw, vh, K, params["w2c"])
     rc = raster_config(config)
 
+    with_sem = semantic and "semantic" in params
     p = subset_upto_timestep(params, t if online else None)
     gauss = {k: jnp.asarray(v) for k, v in p.items()
              if k in ("means3D", "rgb_colors", "unnorm_rotations",
-                      "logit_opacities", "log_scales")}
+                      "logit_opacities", "log_scales", "semantic")}
     q = jnp.asarray(p["cam_unnorm_rots"][0, :, t])
     tr = jnp.asarray(p["cam_trans"][0, :, t])
     out = render_gaussians(
         gauss, None, q, tr, camera, rc,
-        with_semantic=False, gaussians_grad=False, camera_grad=False,
+        with_semantic=with_sem, gaussians_grad=False, camera_grad=False,
     )
     est_w2c = np.asarray(build_w2c(normalize(q), tr))
     # the render is already in the est-pose camera frame -> w2c = identity
     pts, cols = rgbd_to_pointcloud(
         np.asarray(out.im), np.asarray(out.depth), K, np.eye(4), pcd_stride
     )
+    sem_cols = None
+    if with_sem and out.semantic is not None and colormap is not None:
+        sem_rgb = semantic_point_colors(
+            np.asarray(out.semantic), colormap, mlp=mlp, num_semantic=num_semantic
+        )  # [H, W, 3]
+        # subsample/mask exactly like the RGB point colors
+        d = np.asarray(out.depth)
+        ys, xs = np.meshgrid(
+            np.arange(0, d.shape[0], pcd_stride),
+            np.arange(0, d.shape[1], pcd_stride), indexing="ij",
+        )
+        valid = d[ys, xs] > 0
+        sem_cols = sem_rgb[ys, xs][valid]
     # move to world through the estimated pose
     c2w = np.linalg.inv(est_w2c)
     pts = pts @ c2w[:3, :3].T + c2w[:3, 3]
@@ -159,7 +216,7 @@ def replay_step_geometry(
     fr_verts, fr_lines = camera_frustum_geometry(vw, vh, K, est_w2c, frustum_size)
     tr_verts, tr_lines, tr_cols = trajectory_geometry(all_w2cs)
     return {
-        "points": pts, "colors": cols,
+        "points": pts, "colors": cols, "sem_colors": sem_cols,
         "frustum_verts": fr_verts, "frustum_lines": fr_lines,
         "traj_verts": tr_verts, "traj_lines": tr_lines, "traj_colors": tr_cols,
     }

@@ -101,8 +101,16 @@ def interactive_replay(
     viz_scale: float = 0.5,
     pcd_stride: int = 2,
     fps: float = 10.0,
+    semantic: bool = False,
+    mlp: Optional[Dict] = None,
+    colormap: Optional[np.ndarray] = None,
+    num_semantic=None,
 ):
     """Open3D interactive replay (viz_scripts/online_recon.py:184-338).
+
+    With ``semantic=True`` the point cloud is colored by decoded semantic
+    labels (MLP or per-level tree decode + palette) — the equivalent of
+    viz_scripts/online_recon_sem_replica.py / ..._scannet_large.py.
 
     All geometry comes from the display-independent functions in
     hierslam_tpu.viz.geometry (unit-tested headlessly); this wrapper only
@@ -132,10 +140,13 @@ def interactive_replay(
     for t in range(0, n_frames, every):
         g = replay_step_geometry(
             params, config, t, online=online, viz_scale=viz_scale,
-            pcd_stride=pcd_stride,
+            pcd_stride=pcd_stride, semantic=semantic, mlp=mlp,
+            colormap=colormap, num_semantic=num_semantic,
         )
         pcd.points = o3d.utility.Vector3dVector(g["points"])
-        pcd.colors = o3d.utility.Vector3dVector(g["colors"])
+        pcd.colors = o3d.utility.Vector3dVector(
+            g["sem_colors"] if g.get("sem_colors") is not None else g["colors"]
+        )
         frustum.points = o3d.utility.Vector3dVector(g["frustum_verts"])
         frustum.lines = o3d.utility.Vector2iVector(g["frustum_lines"])
         frustum.paint_uniform_color([0.0, 0.8, 0.8])

@@ -37,6 +37,25 @@ def main():
     params = dict(np.load(path))
 
     online = args.mode == "online"
+
+    # semantic decode assets (online_recon_sem_replica.py:27-45 loads the
+    # conv decoder + palette): the saved semantic_decoder.npz when present,
+    # a deterministic palette otherwise
+    mlp, colormap, num_semantic = None, None, None
+    if args.semantic and "semantic" in params:
+        from hierslam_tpu.datasets.tree import label_colormap
+
+        dec = os.path.join(run_dir, "semantic_decoder.npz")
+        if os.path.isfile(dec):
+            mlp = dict(np.load(dec))
+            n_cls = mlp["w"].shape[0]
+        else:
+            ns = config.get("data", {}).get("num_semantic")
+            num_semantic = ns if isinstance(ns, (list, tuple)) else None
+            n_cls = (ns[-1] if isinstance(ns, (list, tuple))
+                     else int(params["semantic"].shape[1]))
+        colormap = label_colormap(max(int(n_cls), 2))
+
     try:
         if args.frames_only:
             raise ImportError("frames-only requested")
@@ -46,7 +65,8 @@ def main():
 
         interactive_replay(
             params, config, every=args.every, online=online,
-            viz_scale=args.viz_scale,
+            viz_scale=args.viz_scale, semantic=args.semantic,
+            mlp=mlp, colormap=colormap, num_semantic=num_semantic,
         )
     except ImportError:
         from hierslam_tpu.viz.recon import render_trajectory_frames
@@ -54,7 +74,8 @@ def main():
         out = render_trajectory_frames(
             params, os.path.join(run_dir, "viz"), config,
             every=args.every, viz_scale=args.viz_scale, online=online,
-            semantic=args.semantic,
+            semantic=args.semantic, mlp=mlp, colormap=colormap,
+            num_semantic=num_semantic,
         )
         print(f"wrote replay frames to {out}")
 

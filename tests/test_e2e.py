@@ -142,6 +142,16 @@ def test_full_slam_semantic(tmp_path):
     assert any("tracking_progress_psnr" in r for r in recs)
     assert any("mapping_progress_psnr" in r for r in recs)
     assert any("bin_overflow" in r for r in recs)
+    # per-iteration loss records for BOTH phases (the reference's
+    # report_loss[_semantic] cadence, utils/eval_helpers.py:277-339)
+    tr_iters = [r for r in recs if r.get("phase") == "tracking"]
+    mp_iters = [r for r in recs if r.get("phase") == "mapping"]
+    assert len(tr_iters) > 1 and "tracking_loss" in tr_iters[0]
+    assert len(mp_iters) > 1 and "mapping_loss" in mp_iters[0]
+    assert "mapping_im" in mp_iters[0] and "mapping_depth" in mp_iters[0]
+    # cumulative per-phase iteration counter is strictly increasing
+    its = [r["iter"] for r in mp_iters]
+    assert its == sorted(its) and len(set(its)) == len(its)
 
 
 def test_gt_pose_mode(tmp_path):

@@ -266,6 +266,7 @@ def test_mapping_improves_render_and_prunes():
     rand_idx = jnp.zeros((30,), jnp.int32)
     n_active_before = int(jnp.sum(variables["active"]))
     params2, variables2, _, _, losses = mapper(params, variables, window, rand_idx, None, None)
+    losses = losses["loss"]
     assert float(losses[-1]) < float(losses[0])
     n_active_after = int(jnp.sum(variables2["active"]))
     assert n_active_after < n_active_before  # low-opacity slots pruned
@@ -309,5 +310,65 @@ def test_mapping_converges_with_bf16_grads_and_budget():
               "time_idx": jnp.zeros((1,), jnp.int32)}
     _, _, _, _, losses = mapper(
         params, variables, window, jnp.zeros((20,), jnp.int32), None, None)
+    losses = losses["loss"]
     assert float(losses[-1]) < float(losses[0])
     assert np.isfinite(float(losses[-1]))
+
+
+def test_compact_slots_reclaims_holes():
+    """Stable compaction: live rows move to the front in order, n_active
+    shrinks to the live count, and freed slots accept new insertions."""
+    cap = 16
+    params = G.empty_params(cap, 2)
+    variables = G.empty_variables(cap)
+    fields = {
+        "means3D": jnp.arange(36, dtype=jnp.float32).reshape(12, 3),
+        "rgb_colors": jnp.ones((12, 3)),
+        "unnorm_rotations": jnp.zeros((12, 4)).at[:, 0].set(1.0),
+        "logit_opacities": jnp.arange(12, dtype=jnp.float32)[:, None],
+        "log_scales": jnp.zeros((12, 1)),
+    }
+    params, variables, _ = G.insert_gaussians(
+        params, variables, fields, jnp.ones(12, bool), 0.0)
+    # prune rows 1, 4, 5 (holes inside the prefix)
+    variables["active"] = variables["active"].at[jnp.array([1, 4, 5])].set(False)
+    assert int(variables["n_active"]) == 12
+
+    params2, variables2 = G.compact_slots(params, variables)
+    assert int(variables2["n_active"]) == 9
+    assert bool(variables2["active"][:9].all())
+    assert not bool(variables2["active"][9:].any())
+    live = [0, 2, 3, 6, 7, 8, 9, 10, 11]
+    np.testing.assert_allclose(
+        np.asarray(params2["logit_opacities"][:9, 0]), live)
+    np.testing.assert_allclose(
+        np.asarray(params2["means3D"][:9]),
+        np.asarray(fields["means3D"])[live])
+
+    # freed slots are appendable again
+    params3, variables3, over = G.insert_gaussians(
+        params2, variables2, fields, jnp.ones(12, bool)[:12].at[5:].set(False), 1.0)
+    assert int(over) == 0
+    assert int(variables3["n_active"]) == 14
+
+
+def test_emergency_prune_frees_least_opaque():
+    cap = 32
+    params = G.empty_params(cap, 2)
+    variables = G.empty_variables(cap)
+    fields = {
+        "means3D": jnp.zeros((20, 3)),
+        "rgb_colors": jnp.ones((20, 3)),
+        "unnorm_rotations": jnp.zeros((20, 4)).at[:, 0].set(1.0),
+        "logit_opacities": jnp.arange(20, dtype=jnp.float32)[:, None],
+        "log_scales": jnp.zeros((20, 1)),
+    }
+    params, variables, _ = G.insert_gaussians(
+        params, variables, fields, jnp.ones(20, bool), 0.0)
+    v2, n_freed = G.emergency_prune(params, variables, 3)
+    assert int(n_freed) == 3
+    act = np.asarray(v2["active"][:20])
+    assert not act[:3].any() and act[3:].all()  # lowest logits dropped
+    # the 20% cap binds when asking for more
+    v3, n_freed3 = G.emergency_prune(params, variables, 100)
+    assert int(n_freed3) == 4  # floor(0.2 * 20)

@@ -74,3 +74,66 @@ def test_replay_step_geometry():
     assert g["traj_verts"].shape == (3, 3)
     assert g["traj_lines"].shape == (2, 2)
     assert np.isfinite(g["points"]).all()
+
+
+def test_replay_step_geometry_semantic():
+    """Interactive SEMANTIC replay geometry: points colored by decoded
+    labels (viz_scripts/online_recon_sem_replica.py:199-338 equivalent),
+    via both the 1x1-conv MLP decode and the per-level tree decode."""
+    rng = np.random.default_rng(1)
+    n, S = 300, 8
+    sem = np.zeros((n, S), np.float32)
+    # two confident classes at level-0 (3 classes) + leaf (5 classes)
+    sem[: n // 2, 0] = 5.0
+    sem[: n // 2, 3] = 5.0
+    sem[n // 2 :, 1] = 5.0
+    sem[n // 2 :, 4] = 5.0
+    params = {
+        "means3D": np.stack(
+            [rng.uniform(-1, 1, n), rng.uniform(-0.7, 0.7, n), rng.uniform(1, 3, n)], -1
+        ).astype(np.float32),
+        "rgb_colors": rng.uniform(0, 1, (n, 3)).astype(np.float32),
+        "unnorm_rotations": np.tile([1.0, 0, 0, 0], (n, 1)).astype(np.float32),
+        "logit_opacities": rng.normal(2.0, 0.5, (n, 1)).astype(np.float32),
+        "log_scales": np.log(rng.uniform(0.05, 0.12, (n, 1))).astype(np.float32),
+        "semantic": sem,
+        "timestep": np.zeros(n, np.float32),
+        "cam_unnorm_rots": np.tile(
+            np.array([1.0, 0, 0, 0], np.float32)[None, :, None], (1, 1, 3)
+        ),
+        "cam_trans": np.zeros((1, 3, 3), np.float32),
+        "intrinsics": np.array([[40.0, 0, 32], [0, 40.0, 24], [0, 0, 1]]),
+        "w2c": np.eye(4),
+        "org_width": np.asarray(64),
+        "org_height": np.asarray(48),
+    }
+    cfg = {"raster": dict(max_per_tile=128, gaussian_chunk=32, tile_batch=2)}
+    cmap = (np.arange(5 * 3).reshape(5, 3) * 17 % 256).astype(np.uint8)
+
+    # per-level tree decode (num_semantic = [3, 5(leaf)])
+    g = VG.replay_step_geometry(
+        params, cfg, t=1, viz_scale=0.5, pcd_stride=2,
+        semantic=True, colormap=cmap, num_semantic=[3, 5],
+    )
+    assert g["sem_colors"] is not None
+    assert g["sem_colors"].shape == g["points"].shape
+    assert np.isfinite(g["sem_colors"]).all()
+    # colors come from the palette (only rows 3 and 4 are dominant leaves)
+    pal = cmap.astype(np.float64) / 255.0
+    d = np.min(
+        np.linalg.norm(g["sem_colors"][:, None, :] - pal[None], axis=-1), axis=1
+    )
+    assert d.max() < 0.25  # blended edges can mix palette colors
+
+    # MLP decode: identity-ish decoder picking leaf rows from channels 3:8
+    mlp = {"w": np.eye(S, dtype=np.float32)[3:8], "b": np.zeros(5, np.float32)}
+    g2 = VG.replay_step_geometry(
+        params, cfg, t=1, viz_scale=0.5, pcd_stride=2,
+        semantic=True, colormap=cmap, mlp=mlp,
+    )
+    assert g2["sem_colors"] is not None
+    assert g2["sem_colors"].shape == g2["points"].shape
+
+    # rgb path unchanged by the new kwargs
+    g3 = VG.replay_step_geometry(params, cfg, t=1, viz_scale=0.5, pcd_stride=2)
+    assert g3["sem_colors"] is None

@@ -2,6 +2,11 @@ import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, "/root/repo")
+from hierslam_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
 import jax
 import jax.numpy as jnp
 
@@ -36,7 +41,14 @@ variables["n_active"] = jnp.asarray(N, jnp.int32)
 variables["scene_radius"] = jnp.asarray(2.3, jnp.float32)
 
 camera = setup_camera(W, H, intrinsics_matrix(600, 600, 599.5, 339.5), np.eye(4))
-rc = RasterConfig(max_per_tile=K, gaussian_chunk=256, tile_batch=48)
+import os
+
+rc = RasterConfig(
+    max_per_tile=K, gaussian_chunk=256, tile_batch=48,
+    grad_pair_budget=int(os.environ.get("PROBE_PAIR_BUDGET", "1500000")),
+    grad_bf16=os.environ.get("PROBE_BF16", "1") == "1",
+    track_max_per_tile=0,
+)
 
 out = render_gaussians(params, variables["active"], jnp.array([1.0, 0, 0, 0]),
                        jnp.zeros(3), camera, rc, with_semantic=False,
@@ -67,9 +79,9 @@ rand_idx = jnp.asarray(rng.integers(0, WIN, ITERS), jnp.int32)
 
 t0 = time.time()
 p2, v2, m2, ms2, losses = mapper(params, variables, window, rand_idx, mlp, mlp_state)
-print("map compile+run", time.time() - t0, float(losses[-1]), flush=True)
+print("map compile+run", time.time() - t0, float(losses["loss"][-1]), flush=True)
 t0 = time.time()
 p2, v2, m2, ms2, losses = mapper(params, variables, window, rand_idx, mlp, mlp_state)
-lv = float(losses[-1])  # scalar fetch = true fence through the relay
+lv = float(losses["loss"][-1])  # scalar fetch = true fence through the relay
 dt = time.time() - t0
 print("map per-iter", dt / ITERS, lv, flush=True)
