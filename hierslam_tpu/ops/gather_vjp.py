@@ -28,6 +28,35 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+# Measured on v5e (tools/micro_prims.py): random row gathers run ~2.4
+# ns/row when the row is a whole number of 128-lane vector rows, but 10-30
+# ns/row at partial widths (e.g. C=38) — the gather degrades to a
+# lane-masked slow path.  Padding the table to a 128-column multiple and
+# slicing after the gather is a ~5x win, but ONLY behind
+# ``optimization_barrier``s: XLA otherwise fuses the slice back into the
+# gather and re-materializes the slow narrow form (measured identical to
+# the unpadded gather).  The pad/slice copies are bandwidth-bound (~10 ms
+# total at the 3.3M-row mapping shapes vs ~90 ms saved).
+LANE = 128
+
+
+def pad_cols_for_gather(x: jax.Array) -> jax.Array:
+    """Pad the last axis to the next 128-lane multiple (zero fill)."""
+    c = x.shape[-1]
+    pad = (-c) % LANE
+    if pad == 0:
+        return x
+    return jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
+
+
+def aligned_gather_rows(arr: jax.Array, idx: jax.Array) -> jax.Array:
+    """``arr[idx]`` routed through the fast full-lane-row gather path."""
+    c = arr.shape[-1]
+    if c % LANE == 0:
+        return arr[idx]
+    arr_p = jax.lax.optimization_barrier(pad_cols_for_gather(arr))
+    return jax.lax.optimization_barrier(arr_p[idx])[..., :c]
+
 
 class InverseMap(NamedTuple):
     spos: jax.Array      # [T*K] flat (tile, slot) positions, sorted by gaussian id
@@ -121,12 +150,12 @@ def gather_rows(
     the segmented suffix accumulation stays f32.  Off by default — parity
     tests assert f32-exact routing.
     """
-    return arr[jnp.maximum(tile_idx, 0)]
+    return aligned_gather_rows(arr, jnp.maximum(tile_idx, 0))
 
 
 def _gather_fwd(arr, tile_idx, spos, skey, starts, n_ref, max_run, n_diff,
                 pair_budget, grad_bf16):
-    out = arr[jnp.maximum(tile_idx, 0)]
+    out = aligned_gather_rows(arr, jnp.maximum(tile_idx, 0))
     return out, (spos, skey, starts, n_ref)
 
 
@@ -143,8 +172,9 @@ def _gather_bwd(max_run, n_diff, pair_budget, grad_bf16, res, g):
     g_flat = g.reshape(t * k, c)[:, :nd]
     if grad_bf16:
         g_flat = g_flat.astype(jnp.bfloat16)
-    # 1. permute cotangent rows into gaussian-sorted order (one row-gather)
-    y = g_flat[spos].astype(jnp.float32)
+    # 1. permute cotangent rows into gaussian-sorted order (one row-gather,
+    #    lane-padded for the fast gather path, sliced back for the suffix)
+    y = aligned_gather_rows(g_flat, spos).astype(jnp.float32)
     # 2. segmented suffix-sum: after ceil(log2(max_run)) doubling passes,
     #    y[i] = sum of g over i's run-suffix (runs delimited by skey).
     s = 1
@@ -154,7 +184,7 @@ def _gather_bwd(max_run, n_diff, pair_budget, grad_bf16, res, g):
         s *= 2
     # 3. each gaussian's total = its run head (masked for unreferenced rows;
     # under a pair budget, also for runs starting past the truncation)
-    head = y[jnp.minimum(starts, m - 1)]
+    head = aligned_gather_rows(y, jnp.minimum(starts, m - 1))
     grad = jnp.where(((n_ref > 0) & (starts < m))[:, None], head, 0.0)
     if nd < c:
         grad = jnp.pad(grad, ((0, 0), (0, c - nd)))

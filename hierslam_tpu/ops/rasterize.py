@@ -254,6 +254,7 @@ def rasterize(
         acc, final_T, med = render_tiles_pallas(
             g, slot_ok, image_shape=(H, W), tile_shape=config.tile_shape,
             grid=grid, interpret=interp, chunk=config.gaussian_chunk,
+            counts=lists.count,
         )
     else:
         g_xy, g_conic = g[..., 0:2], g[..., 2:5]

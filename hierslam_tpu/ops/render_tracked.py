@@ -36,6 +36,7 @@ class TrackCache(NamedTuple):
     opacity: jax.Array       # [T, K] post-sigmoid
     scale: jax.Array         # [T, K] isotropic post-exp
     slot_valid: jax.Array    # [T, K]
+    count: jax.Array         # [T] true overlap counts (blend early-exit bound)
     radii0: jax.Array        # [N] radii at the cache pose (bookkeeping)
     n_dropped: jax.Array
 
@@ -82,6 +83,7 @@ def build_track_cache(
         opacity=jnp.where(valid, g[..., 6], 0.0),
         scale=g[..., 7],
         slot_valid=valid,
+        count=b.lists.count,
         radii0=prep0.radius,
         n_dropped=b.lists.n_dropped,
     )
@@ -167,6 +169,7 @@ def render_tracked(
         acc, final_T, med = render_tiles_pallas(
             table, valid, image_shape=(H, W), tile_shape=config.tile_shape,
             grid=grid, interpret=interp, chunk=config.gaussian_chunk,
+            counts=cache.count,
         )
     else:
         acc, final_T, med = render_xla.blend_tiles(

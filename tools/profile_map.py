@@ -54,7 +54,11 @@ variables["n_active"] = jnp.asarray(N_GAUSS, jnp.int32)
 variables["scene_radius"] = jnp.asarray(2.3, jnp.float32)
 
 camera = setup_camera(W, H, intrinsics_matrix(600.0, 600.0, 599.5, 339.5), np.eye(4))
-rc = RasterConfig(max_per_tile=K, gaussian_chunk=256, tile_batch=48)
+rc = RasterConfig(
+    max_per_tile=K, gaussian_chunk=256, tile_batch=48,
+    grad_pair_budget=int(os.environ.get("PROFILE_PAIR_BUDGET", "0")),
+    grad_bf16=os.environ.get("PROFILE_BF16", "0") == "1",
+)
 
 from hierslam_tpu.slam.losses import render_gaussians
 
@@ -86,7 +90,7 @@ rand_idx = jnp.asarray(rng.integers(0, WINDOW, MAP_ITERS), jnp.int32)
 
 def run_map():
     p2, v2, m2, ms2, losses = mapper(params, variables, window, rand_idx, mlp, mlp_state)
-    return float(losses[-1])
+    return float(losses["loss"][-1])
 
 
 t0 = time.time()
