@@ -133,7 +133,7 @@ def _fwd_kernel(cnt_ref, tab_ref, ok_ref, acc_ref, ft_ref, med_ref,
         med_s[...] = jnp.zeros((P,), jnp.float32)
         medf_s[...] = jnp.zeros((P,), jnp.int32)
         alive_s[0] = 1
-        n_needed = (jnp.minimum(cnt_ref[j, 0], k_eff) + chunk - 1) // chunk
+        n_needed = (jnp.minimum(cnt_ref[0, tile_id], k_eff) + chunk - 1) // chunk
         for c in range(n_ch):
             @pl.when((c < n_needed) & (alive_s[0] > 0))
             def _body(c=c):
@@ -181,7 +181,7 @@ def _bwd_kernel(cnt_ref, tab_ref, ok_ref, gacc_ref, gft_ref, gmed_ref,
     gacc = gacc_ref[j]                # [P, F+2]
     gft = gft_ref[j]                  # [P, 1]
     gmed = gmed_ref[j]                # [P, 1]
-    n_needed = (jnp.minimum(cnt_ref[j, 0], k_eff) + chunk - 1) // chunk
+    n_needed = (jnp.minimum(cnt_ref[0, tile_id], k_eff) + chunk - 1) // chunk
 
     # pass 1 (front-to-back): per-chunk entry log-transmittance + T_final
     logTs_s[0] = jnp.zeros((P, 1), jnp.float32)
@@ -320,7 +320,9 @@ def _run_fwd(table, ok, counts, grid, tile_shape, interpret, chunk=256):
     t_pad = nsteps * tb
     tab_t = _pad_tiles(jnp.swapaxes(table, 1, 2), t_pad)  # [Tp, C, K]
     okp = _pad_tiles(ok.astype(jnp.int32)[:, None, :], t_pad)
-    cnt = _pad_tiles(counts.astype(jnp.int32)[:, None], t_pad)
+    # SMEM input windows pad the minor dim to 512B/row: lay counts out as
+    # [1, t_pad] (tiles in lanes) so the window is ~4*T bytes, not 512*T.
+    cnt = jnp.pad(counts.astype(jnp.int32), (0, t_pad - T))[None, :]
     kern = functools.partial(
         _fwd_kernel, tile_shape=tile_shape, grid_x=grid_x, tile_batch=tb,
         chunk=q, k_eff=k_eff,
@@ -329,7 +331,7 @@ def _run_fwd(table, ok, counts, grid, tile_shape, interpret, chunk=256):
         kern,
         grid=(nsteps,),
         in_specs=[
-            pl.BlockSpec((tb, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(cnt.shape, lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((tb, C, K), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tb, 1, K), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
@@ -374,7 +376,9 @@ def _run_bwd(table, ok, counts, gacc, gft, gmed, grid, tile_shape, interpret,
     t_pad = nsteps * tb
     tab_t = _pad_tiles(jnp.swapaxes(table, 1, 2), t_pad)
     okp = _pad_tiles(ok.astype(jnp.int32)[:, None, :], t_pad)
-    cnt = _pad_tiles(counts.astype(jnp.int32)[:, None], t_pad)
+    # SMEM input windows pad the minor dim to 512B/row: lay counts out as
+    # [1, t_pad] (tiles in lanes) so the window is ~4*T bytes, not 512*T.
+    cnt = jnp.pad(counts.astype(jnp.int32), (0, t_pad - T))[None, :]
     n_ch = (K + q - 1) // q
     kern = functools.partial(
         _bwd_kernel, tile_shape=tile_shape, grid_x=grid_x, tile_batch=tb,
@@ -384,7 +388,7 @@ def _run_bwd(table, ok, counts, gacc, gft, gmed, grid, tile_shape, interpret,
         kern,
         grid=(nsteps,),
         in_specs=[
-            pl.BlockSpec((tb, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(cnt.shape, lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((tb, C, K), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tb, 1, K), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tb, P, n_feat + 2), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
