@@ -100,6 +100,191 @@ def make_dp_mapping_step(
     return step
 
 
+def make_dp_mapper(
+    mesh: Mesh,
+    camera,
+    loss_cfg: LossConfig,
+    raster_cfg: RasterConfig,
+    lrs: Dict[str, float],
+    num_iters: int,
+    prune_cfg,
+    mlp_lr: float = 5e-4,
+    bin_margin_px: float = 8.0,
+    axis: str = "data",
+):
+    """Data-parallel mapping PHASE with the same signature/semantics as
+    ``slam.mapping.make_mapper`` (minus classic clone/split densify).
+
+    Each iteration optimizes a BATCH of ``D = mesh.shape[axis]`` window
+    frames instead of the reference's single random frame
+    (scripts/hierslam.py:1986-1989): every device renders + differentiates
+    its own frame against the replicated Gaussian map, the per-frame
+    gradients are combined with one ``pmean`` riding ICI, and the Adam /
+    prune / bookkeeping updates run replicated — identical math on every
+    device.  With all D columns of ``rand_idx`` equal this reduces EXACTLY
+    to the single-device mapper (pmean of identical gradients), which is
+    the equivalence contract ``tests/test_parallel.py`` asserts.
+
+    ``rand_idx`` is [num_iters, D] int32 (one window index per device per
+    iteration).  Returned losses are the per-iteration pmean'd parts.
+    """
+    from hierslam_tpu.core import transforms as _tf
+    from hierslam_tpu.ops.rasterize import compute_binning as _cb
+    from hierslam_tpu.slam.mapping import PruneConfig  # noqa: F401 (doc parity)
+
+    with_sem = bool(loss_cfg.sem_levels)
+    wants_mlp = with_sem and loss_cfg.use_mlp
+    n_dev = mesh.shape[axis]
+
+    @jax.jit
+    def map_phase(params, variables, window, rand_idx, mlp, mlp_state, key=None):
+        gauss_keys = [k for k in G.GAUSSIAN_KEYS if k in params]
+        gp = {k: params[k] for k in gauss_keys}
+        opt = optim.adam_init(gp)
+
+        wq = jax.lax.stop_gradient(params["cam_unnorm_rots"][0].T[window["time_idx"]])
+        wt = jax.lax.stop_gradient(params["cam_trans"][0].T[window["time_idx"]])
+
+        # Amortized per-window-frame binning, computed replicated (identical
+        # on every device; see slam.mapping.make_mapper for the margin
+        # semantics).
+        sg = jax.lax.stop_gradient(gp)
+        scales0 = jnp.exp(sg["log_scales"])
+
+        def bin_one(qt):
+            q, t_ = qt
+            means_cam, _ = _tf.transform_to_frame(
+                sg["means3D"], sg["unnorm_rotations"], q, t_,
+                gaussians_grad=False, camera_grad=False,
+            )
+            return _cb(
+                means_cam, scales0, sg["unnorm_rotations"], camera,
+                raster_cfg, active=variables["active"],
+                margin_px=bin_margin_px,
+            )
+
+        binnings = jax.lax.map(bin_one, (wq, wt), batch_size=4)
+
+        def device_grads(gp_r, mlp_r, active_r, idx_col, it):
+            idx = idx_col[0]
+            im_gt = window["im"][idx]
+            depth_gt = window["depth"][idx]
+            labels = window["labels"][idx] if "labels" in window else None
+            q, t = wq[idx], wt[idx]
+            bc = jax.tree_util.tree_map(lambda x: x[idx], binnings)
+
+            def loss_fn(gp_, mlp_):
+                full = dict(params)
+                full.update(gp_)
+                out = render_gaussians(
+                    full, active_r, q, t, camera, raster_cfg,
+                    with_semantic=with_sem, gaussians_grad=True,
+                    camera_grad=False, binning_cache=bc,
+                )
+                loss, parts = mapping_loss(
+                    out, im_gt, depth_gt, labels, mlp_, it, loss_cfg
+                )
+                return loss, (out.radii, parts)
+
+            if wants_mlp:
+                (loss, (radii, parts)), (ggp, gmlp) = jax.value_and_grad(
+                    loss_fn, argnums=(0, 1), has_aux=True
+                )(gp_r, mlp_r)
+            else:
+                (loss, (radii, parts)), ggp = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(gp_r, mlp_r)
+                gmlp = None
+            ggp = jax.lax.pmean(ggp, axis)
+            parts = jax.lax.pmean(parts, axis)
+            radii = jax.lax.pmax(radii, axis)
+            if gmlp is not None:
+                gmlp = jax.lax.pmean(gmlp, axis)
+                return ggp, gmlp, radii, parts
+            return ggp, radii, parts
+
+        sharded = jax.shard_map(
+            device_grads,
+            mesh=mesh,
+            in_specs=(P(), P(), P(), P(axis), P()),
+            out_specs=(P(),) * (4 if wants_mlp else 3),
+            check_vma=False,
+        )
+
+        def body(carry, it):
+            gp, variables, opt, mlp, mlp_state = carry
+            outs = sharded(gp, mlp, variables["active"], rand_idx[it], it)
+            if wants_mlp:
+                ggp, gmlp, radii, parts = outs
+            else:
+                ggp, radii, parts = outs
+                gmlp = None
+
+            # prune (reference order: backward -> prune -> step) — identical
+            # to the single-device mapper
+            do_prune = (
+                (it <= prune_cfg.stop_after)
+                & (it >= prune_cfg.start_after)
+                & (it % prune_cfg.prune_every == 0)
+            )
+            thresh = jnp.where(
+                it == prune_cfg.stop_after,
+                prune_cfg.final_removal_opacity_threshold,
+                prune_cfg.removal_opacity_threshold,
+            )
+            small = jax.nn.sigmoid(gp["logit_opacities"][:, 0]) < thresh
+            big = (
+                jnp.exp(jnp.max(gp["log_scales"], axis=1))
+                > 0.1 * variables["scene_radius"]
+            ) & (it >= prune_cfg.remove_big_after)
+            removed = do_prune & variables["active"] & (small | big)
+            variables = dict(variables)
+            variables["active"] = variables["active"] & ~removed
+            opt = optim.zero_moment_rows(opt, removed)
+
+            if prune_cfg.reset_opacities:
+                do_reset = (
+                    (it > 0)
+                    & (it % prune_cfg.reset_opacities_every == 0)
+                    & (it <= prune_cfg.stop_after)
+                )
+                reset_val = jnp.log(0.01 / 0.99)  # inverse_sigmoid(0.01)
+                gp = dict(gp)
+                gp["logit_opacities"] = jnp.where(
+                    do_reset,
+                    jnp.full_like(gp["logit_opacities"], reset_val),
+                    gp["logit_opacities"],
+                )
+                zeroed = optim.zero_moments_for_key(opt, "logit_opacities")
+                opt = jax.tree_util.tree_map(
+                    lambda a, b: jnp.where(do_reset, b, a), opt, zeroed
+                )
+
+            gp, opt = optim.adam_step(gp, ggp, opt, lrs, eps=1e-15)
+            if gmlp is not None:
+                mlp, mlp_state = optim.adam_step(
+                    mlp, gmlp, mlp_state, {"w": mlp_lr, "b": mlp_lr}, eps=1e-8
+                )
+            radf = radii.astype(jnp.float32)
+            variables["max_2D_radius"] = jnp.where(
+                radii > 0,
+                jnp.maximum(variables["max_2D_radius"], radf),
+                variables["max_2D_radius"],
+            )
+            return (gp, variables, opt, mlp, mlp_state), parts
+
+        carry = (gp, variables, opt, mlp, mlp_state)
+        carry, losses = jax.lax.scan(
+            body, carry, jnp.arange(num_iters, dtype=jnp.int32)
+        )
+        gp, variables, _, mlp, mlp_state = carry
+        out_params = dict(params)
+        out_params.update(gp)
+        return out_params, variables, mlp, mlp_state, losses
+
+    return map_phase
+
+
 def make_tile_sharded_render(mesh: Mesh, camera, raster_cfg: RasterConfig, axis: str = "data"):
     """Pixel-parallel rendering: shard the image's tile rows over devices.
 

@@ -183,12 +183,40 @@ class SLAMRunner:
                 for k in DensifyConfig.__dataclass_fields__
                 if k in mcfg.get("densify_dict", {})
             })
-        self.mapper = make_mapper(
-            self.camera, map_loss, rc, map_lrs,
-            num_iters=mcfg["num_iters"],
-            prune_cfg=prune or PruneConfig(start_after=10**9),
-            densify_cfg=densify_cfg,
-        )
+        # Multi-device mapping (config["parallel"]["map_data_devices"] = D):
+        # the mapping phase runs keyframe-data-parallel over a D-device mesh
+        # — D window frames per iteration, gradients pmean'd over ICI.  The
+        # reference has no distributed path at all (SURVEY.md §2.3); with
+        # D=1-equivalent indices the math reduces exactly to the
+        # single-device mapper (tests/test_parallel.py).
+        self.map_dp = int(config.get("parallel", {}).get("map_data_devices", 0))
+        if self.map_dp > 1:
+            n_dev = len(jax.devices())
+            if n_dev < self.map_dp:
+                raise ValueError(
+                    f"parallel.map_data_devices={self.map_dp} but only "
+                    f"{n_dev} devices are visible"
+                )
+            if densify_cfg is not None:
+                raise ValueError(
+                    "parallel.map_data_devices does not support "
+                    "use_gaussian_splatting_densification"
+                )
+            from hierslam_tpu.parallel import make_dp_mapper, make_mesh
+
+            self.mesh = make_mesh(self.map_dp)
+            self.mapper = make_dp_mapper(
+                self.mesh, self.camera, map_loss, rc, map_lrs,
+                num_iters=mcfg["num_iters"],
+                prune_cfg=prune or PruneConfig(start_after=10**9),
+            )
+        else:
+            self.mapper = make_mapper(
+                self.camera, map_loss, rc, map_lrs,
+                num_iters=mcfg["num_iters"],
+                prune_cfg=prune or PruneConfig(start_after=10**9),
+                densify_cfg=densify_cfg,
+            )
         self.densifier = make_densifier(
             self.camera, rc, mcfg["sil_thres"], self.num_semantic
         )
@@ -543,9 +571,13 @@ class SLAMRunner:
                 )
             )
             window = self._window_arrays(window_frames, cfg["mapping_window_size"])
+            idx_shape = (
+                (cfg["mapping"]["num_iters"], self.map_dp)
+                if self.map_dp > 1
+                else cfg["mapping"]["num_iters"]
+            )
             rand_idx = jnp.asarray(
-                self.rng.integers(0, len(window_frames), cfg["mapping"]["num_iters"]),
-                jnp.int32,
+                self.rng.integers(0, len(window_frames), idx_shape), jnp.int32
             )
             p_b, v_b = self._sliced_state()
             pre_state = None

@@ -19,6 +19,7 @@ class RunLogger:
         self._f = open(self.path, "a")
         self.t0 = time.time()
         self._iter_counts: Dict[str, int] = {}
+        self.last: Dict = {}  # most recent value per metric key
         self.wandb = None
         if use_wandb:
             try:
@@ -31,6 +32,7 @@ class RunLogger:
     def log(self, step: int, **metrics):
         rec = {"step": step, "t": round(time.time() - self.t0, 3)}
         rec.update({k: (float(v) if hasattr(v, "__float__") else v) for k, v in metrics.items()})
+        self.last.update({k: v for k, v in rec.items() if k not in ("step", "t")})
         self._f.write(json.dumps(rec) + "\n")
         self._f.flush()
         if self.wandb is not None:

@@ -70,3 +70,121 @@ def test_dp_mapping_step_runs_and_improves():
         )
         losses.append(float(loss))
     assert losses[-1] < losses[0]
+
+
+def _mapper_fixture():
+    """Shared state for the DP-vs-single mapper equivalence tests."""
+    from hierslam_tpu.core import gaussians as G
+
+    camera = _camera(W=64, H=48)
+    gt = _synthetic_map(jax.random.PRNGKey(3))
+    n = gt["means3D"].shape[0]
+    params = G.empty_params(512 + n - n % 512 if n % 512 else n, 4, 0)
+    cap = params["means3D"].shape[0]
+    for k in ("means3D", "rgb_colors", "unnorm_rotations", "logit_opacities",
+              "log_scales"):
+        params[k] = params[k].at[:n].set(gt[k])
+    params["cam_unnorm_rots"] = gt["cam_unnorm_rots"]
+    params["cam_trans"] = gt["cam_trans"]
+    variables = G.empty_variables(cap)
+    variables["active"] = variables["active"].at[:n].set(True)
+    variables["n_active"] = jnp.asarray(n, jnp.int32)
+    variables["scene_radius"] = jnp.asarray(2.0, jnp.float32)
+
+    out = render_gaussians(
+        params, variables["active"], jnp.array([1.0, 0, 0, 0]), jnp.zeros(3),
+        camera, RC, with_semantic=False, gaussians_grad=False, camera_grad=False,
+    )
+    W_frames = 4
+    window = {
+        "im": jnp.broadcast_to(jnp.clip(out.im, 0, 1)[None], (W_frames, 3, 48, 64)),
+        "depth": jnp.broadcast_to(out.depth[None], (W_frames, 48, 64)),
+        "time_idx": jnp.arange(W_frames, dtype=jnp.int32) % 4,
+    }
+    # perturb colors so mapping has something to optimize
+    params["rgb_colors"] = jnp.clip(
+        params["rgb_colors"]
+        + 0.3 * jax.random.normal(jax.random.PRNGKey(4), (cap, 3)), 0, 1
+    )
+    return camera, params, variables, window
+
+
+def test_dp_mapper_matches_single_device():
+    """make_dp_mapper with all D columns equal must reproduce the
+    single-device make_mapper trajectory exactly (pmean of identical
+    per-device gradients == the single gradient)."""
+    from hierslam_tpu.parallel import make_dp_mapper
+    from hierslam_tpu.slam.mapping import PruneConfig, make_mapper
+
+    camera, params, variables, window = _mapper_fixture()
+    loss_cfg = LossConfig(use_sil_for_loss=False, sil_thres=0.5, w_im=0.5,
+                          w_depth=1.0)
+    lrs = dict(means3D=1e-4, rgb_colors=2.5e-3, unnorm_rotations=1e-3,
+               logit_opacities=0.05, log_scales=1e-3)
+    iters = 6
+    prune = PruneConfig(start_after=10**9)
+    single = make_mapper(camera, loss_cfg, RC, lrs, iters, prune)
+    mesh = make_mesh(8)
+    dp = make_dp_mapper(mesh, camera, loss_cfg, RC, lrs, iters, prune)
+
+    rng = np.random.default_rng(0)
+    idx = jnp.asarray(rng.integers(0, 4, iters), jnp.int32)
+    p1, v1, _, _, losses1 = single(params, variables, window, idx, None, None)
+    idx_dp = jnp.broadcast_to(idx[:, None], (iters, 8))
+    p2, v2, _, _, losses2 = dp(params, variables, window, idx_dp, None, None)
+
+    np.testing.assert_allclose(
+        np.asarray(losses1["loss"]), np.asarray(losses2["loss"]), rtol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(p1["means3D"]), np.asarray(p2["means3D"]), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(p1["rgb_colors"]), np.asarray(p2["rgb_colors"]), atol=1e-5
+    )
+
+
+def test_dp_mapper_batched_improves():
+    """Distinct per-device frames: the batched-gradient phase must run and
+    reduce the loss."""
+    from hierslam_tpu.parallel import make_dp_mapper
+    from hierslam_tpu.slam.mapping import PruneConfig
+
+    camera, params, variables, window = _mapper_fixture()
+    loss_cfg = LossConfig(use_sil_for_loss=False, sil_thres=0.5, w_im=0.5,
+                          w_depth=1.0)
+    lrs = dict(means3D=1e-4, rgb_colors=2.5e-2, unnorm_rotations=1e-3,
+               logit_opacities=0.05, log_scales=1e-3)
+    iters = 8
+    mesh = make_mesh(8)
+    dp = make_dp_mapper(mesh, camera, loss_cfg, RC, lrs, iters,
+                        PruneConfig(start_after=10**9))
+    rng = np.random.default_rng(1)
+    idx_dp = jnp.asarray(rng.integers(0, 4, (iters, 8)), jnp.int32)
+    _, _, _, _, losses = dp(params, variables, window, idx_dp, None, None)
+    tr = np.asarray(losses["loss"])
+    assert np.isfinite(tr).all()
+    assert tr[-1] < tr[0]
+
+
+def test_runner_dp_mapping_e2e(tmp_path):
+    """Full SLAMRunner with parallel.map_data_devices: the mapping phase
+    runs keyframe-DP under shard_map on the virtual mesh end-to-end."""
+    from fabricate import fabricate_replica
+    from test_e2e import small_config
+
+    from hierslam_tpu.slam.pipeline import SLAMRunner
+
+    basedir, seq, _ = fabricate_replica(
+        str(tmp_path / "data"), n_frames=4, semantic=True
+    )
+    cfg = small_config(basedir, seq, workdir=str(tmp_path / "out"))
+    cfg["parallel"] = dict(map_data_devices=8)
+    cfg["map_every"] = 2
+    cfg["tracking"]["num_iters"] = 4
+    cfg["mapping"]["num_iters"] = 4
+    runner = SLAMRunner(cfg)
+    for t in range(4):
+        runner.step(t)
+    assert np.isfinite(runner.logger.last["mapping_loss"])
+    assert np.isfinite(runner.logger.last["tracking_loss"])

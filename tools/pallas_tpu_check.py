@@ -1,3 +1,4 @@
+import sys; sys.path.insert(0, "/root/repo")
 import time, numpy as np, jax, jax.numpy as jnp
 from hierslam_tpu.utils.cache import enable_compilation_cache
 enable_compilation_cache()
