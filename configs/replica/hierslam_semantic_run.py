@@ -41,7 +41,11 @@ config = dict(
     # --- TPU-specific ---
     map_capacity=4_000_000,
     raster=dict(tile_shape=(16, 16), max_per_tile=1024, gaussian_chunk=256, tile_batch=48,
-                grad_pair_budget=3_000_000, grad_bf16=True, track_max_per_tile=512),
+                grad_pair_budget=3_000_000, grad_bf16=True, track_max_per_tile=512,
+                # re-blend the 256 densest tiles at 4096 slots: bounds the
+                # static-K truncation error where it concentrates (the CUDA
+                # reference renders every overlap, rasterizer_impl.cu:281-312)
+                escalate_tiles=256, escalate_k=4096),
     model=dict(
         flag_use_embedding=1,
         eval_gt_transfer=False,

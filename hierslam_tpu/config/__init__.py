@@ -70,4 +70,7 @@ def raster_config(config: Dict) -> RasterConfig:
         grad_pair_budget=r.get("grad_pair_budget", 0),
         grad_bf16=r.get("grad_bf16", False),
         track_max_per_tile=r.get("track_max_per_tile", 0),
+        escalate_tiles=r.get("escalate_tiles", 0),
+        escalate_k=r.get("escalate_k", 0),
+        densify_max_per_tile=r.get("densify_max_per_tile", 0),
     )

@@ -38,6 +38,23 @@ class TileLists(NamedTuple):
     n_dropped: jax.Array  # [] int32 overflowed (gaussian, tile) pairs (K cap + emission caps)
 
 
+class EscalatedLists(NamedTuple):
+    """Extended depth-ordered lists for the heaviest-overlap tiles.
+
+    The CUDA reference renders EVERY overlap (rasterizer_impl.cu:281-312);
+    a static per-tile K instead truncates dense tiles, and the truncation
+    error concentrates in the few tiles whose true count exceeds K.  The
+    top ``n_escalate`` tiles by count get a second list at ``escalate_k``
+    slots; the renderer re-blends exactly those tiles and replaces their
+    pixels, so the effective cap is ``escalate_k`` where it matters while
+    everything else stays at the cheap K.
+    """
+
+    tile_ids: jax.Array  # [OB] int32 tile ids (top counts, unordered)
+    idx: jax.Array       # [OB, K_big] int32 indices in depth order, -1 pad
+    count: jax.Array     # [OB] int32 true overlap counts of those tiles
+
+
 def default_emission_budgets(n: int, r_cap: int) -> Tuple[int, ...]:
     """Per-cell-row emission budgets.
 
@@ -70,6 +87,8 @@ def bin_gaussians(
     chunk: int = 16384,                 # kept for API compatibility (unused)
     max_tiles_per_gaussian: int = 32,
     emission_budgets: Optional[Sequence[int]] = None,
+    n_escalate: int = 0,
+    escalate_k: int = 0,
 ) -> TileLists:
     """Build per-tile depth-ordered index lists.
 
@@ -85,6 +104,13 @@ def bin_gaussians(
         emission_budgets: optional per-cell-row emission budgets (length
             ``max_tiles_per_gaussian``); defaults to
             :func:`default_emission_budgets`.
+        n_escalate / escalate_k: when > 0, also return
+            :class:`EscalatedLists` for the ``n_escalate`` highest-count
+            tiles at ``escalate_k`` slots (see its docstring); pairs those
+            lists recover are not counted in ``n_dropped``.
+
+    Returns:
+        ``(TileLists, EscalatedLists | None)``.
     """
     grid_y, grid_x = grid
     n = depth.shape[0]
@@ -107,8 +133,11 @@ def bin_gaussians(
 
     # Sort gaussians by touched DESCENDING (invalid = 0 touched sorts last):
     # "touches > r tiles" becomes a prefix of this order, so cell-row r only
-    # needs its first B_r entries.
-    order = jnp.argsort(-touched, stable=True).astype(jnp.int32)
+    # needs its first B_r entries.  Unstable: equal-touched order is
+    # irrelevant (it only picks WHICH gaussians drop if a row budget
+    # overflows, which is counted either way) and stability would add an
+    # iota operand to a 2M-row sort.
+    order = jnp.argsort(-touched, stable=False).astype(jnp.int32)
     # ONE 8-column gather reorders rects + depth together: C=8 int32 rows
     # ride the fast packed-row gather path (~3 ns/row), while a separate
     # 1-column f32 depth gather would pay its own ~6 ns/row pass.  Depth
@@ -180,17 +209,33 @@ def bin_gaussians(
     ok = kk[None, :] < counts[:, None]
     m = s_gauss.shape[0]
     s_gauss_pad = jnp.concatenate([s_gauss, jnp.full((1,), -1, jnp.int32)])
-    # 1-column row gathers run ~25 ns/row on TPU (lane-masked slow path);
-    # widening the source to 8 int32 columns rides the packed-small-row
-    # class (~3 ns/row).  optimization_barrier keeps XLA from folding the
-    # pad back into a narrow gather (same trap as ops/gather_vjp.py).
-    src8 = jax.lax.optimization_barrier(
-        jnp.pad(s_gauss_pad[:, None], ((0, 0), (0, 7)))
-    )
-    lists8 = jax.lax.optimization_barrier(src8[jnp.minimum(take, m)])
-    lists = jnp.where(ok, lists8[..., 0], -1)
+    # NOTE a round-3 attempt widened this to an 8-int32-column source to
+    # chase the packed-small-row gather class; measured on hardware at the
+    # bench shape (2M gaussians, 9M-row source, [T,K]=3.3M takes) the
+    # widened gather is 1.7x SLOWER (98.9 vs 57.7 ms) — the packed class
+    # does not apply at this source size and the 8x extra traffic loses.
+    lists = jnp.where(ok, s_gauss_pad[jnp.minimum(take, m)], -1)
 
     n_dropped = (
         jnp.sum(jnp.maximum(counts - k, 0)) + n_dropped_emit + n_dropped_budget
     )
-    return TileLists(idx=lists, count=counts, n_dropped=n_dropped)
+
+    esc = None
+    if n_escalate > 0 and escalate_k > k:
+        ob = min(n_escalate, num_tiles)
+        kb = escalate_k
+        _, big_ids = jax.lax.top_k(counts, ob)
+        big_ids = big_ids.astype(jnp.int32)
+        big_counts = counts[big_ids]
+        kkb = jnp.arange(kb, dtype=jnp.int32)
+        take_b = starts[big_ids][:, None] + kkb[None, :]          # [OB, Kb]
+        ok_b = kkb[None, :] < big_counts[:, None]
+        big_idx = jnp.where(ok_b, s_gauss_pad[jnp.minimum(take_b, m)], -1)
+        esc = EscalatedLists(tile_ids=big_ids, idx=big_idx, count=big_counts)
+        # pairs in (K, min(count, Kb)] of the escalated tiles DO render now
+        recovered = jnp.sum(
+            jnp.minimum(big_counts, kb) - jnp.minimum(big_counts, k)
+        )
+        n_dropped = n_dropped - recovered
+
+    return TileLists(idx=lists, count=counts, n_dropped=n_dropped), esc

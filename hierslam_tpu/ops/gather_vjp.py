@@ -63,6 +63,13 @@ class InverseMap(NamedTuple):
     skey: jax.Array      # [T*K] gaussian id at each sorted position (N = invalid pad)
     starts: jax.Array    # [N] start of each gaussian's run in the sorted order
     n_ref: jax.Array     # [N] number of referencing (tile, slot) pairs
+    # [T*K] int8 bit-planes: bit p set at position i iff skey[i] ==
+    # skey[i + 2**p] — the segment masks of the backward's doubling passes.
+    # They only depend on skey, so they are computed ONCE per binning and
+    # reused across every optimizer iteration (the per-iteration pred
+    # compare + packed-bool layout copies showed up at ~25 ms/iter in the
+    # N=2M device trace).
+    run_masks: jax.Array
     # NOTE: the static run-length bound (max_tiles_per_gaussian) lives in
     # RasterConfig, not here — pytree leaves must stay arrays for lax.map.
 
@@ -107,13 +114,20 @@ def build_inverse_map(
     skey, spos = jax.lax.sort((key, pos), num_keys=1)
     ends = rank_probes(key, num_gaussians)
     starts = jnp.concatenate([jnp.zeros((1,), jnp.int32), ends[:-1]])
+    masks = jnp.zeros((m,), jnp.int8)
+    s, p = 1, 0
+    while s < (max_run or 16):
+        same = (skey[:-s] == skey[s:]).astype(jnp.int8) << p
+        masks = masks + jnp.pad(same, (0, s))
+        s, p = s * 2, p + 1
     return InverseMap(
         spos=spos, skey=skey, starts=starts,
         n_ref=(ends - starts).astype(jnp.int32),
+        run_masks=masks,
     )
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
+@partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
 def gather_rows(
     arr: jax.Array,
     tile_idx: jax.Array,
@@ -121,6 +135,7 @@ def gather_rows(
     skey: jax.Array,
     starts: jax.Array,
     n_ref: jax.Array,
+    run_masks: jax.Array,
     max_run: int = 16,
     n_diff: int = 0,
     pair_budget: int = 0,
@@ -145,28 +160,30 @@ def gather_rows(
     count exceeds it — callers surface ``count_grad_dropped`` of the
     binning.  0 means route all T*K positions (always exact).
 
-    ``grad_bf16`` (static): permute the cotangent rows in bfloat16 (the
-    permutation is HBM-bandwidth-bound: 48 -> 28 ms at the bench shape);
-    the segmented suffix accumulation stays f32.  Off by default — parity
-    tests assert f32-exact routing.
+    ``grad_bf16`` (static): permute the cotangent rows AND run the
+    doubling passes in bfloat16 (both are HBM-bandwidth-bound: permutation
+    48 -> 28 ms, suffix passes halved at the bench shape); the final head
+    values are cast back to f32.  Each gaussian's gradient is then a <=
+    max_run-term sum accumulated in bf16 (~0.4% relative rounding).  Off
+    by default — parity tests assert f32-exact routing.
     """
     return aligned_gather_rows(arr, jnp.maximum(tile_idx, 0))
 
 
-def _gather_fwd(arr, tile_idx, spos, skey, starts, n_ref, max_run, n_diff,
-                pair_budget, grad_bf16):
+def _gather_fwd(arr, tile_idx, spos, skey, starts, n_ref, run_masks,
+                max_run, n_diff, pair_budget, grad_bf16):
     out = aligned_gather_rows(arr, jnp.maximum(tile_idx, 0))
-    return out, (spos, skey, starts, n_ref)
+    return out, (spos, starts, n_ref, run_masks)
 
 
 def _gather_bwd(max_run, n_diff, pair_budget, grad_bf16, res, g):
-    spos, skey, starts, n_ref = res
+    spos, starts, n_ref, run_masks = res
     t, k, c = g.shape
     m = t * k
     if pair_budget and pair_budget < m:
         # valid references occupy a prefix of the gaussian-sorted order
         spos = spos[:pair_budget]
-        skey = skey[:pair_budget]
+        run_masks = run_masks[:pair_budget]
         m = pair_budget
     nd = c if n_diff == 0 else min(n_diff, c)
     g_flat = g.reshape(t * k, c)[:, :nd]
@@ -174,21 +191,26 @@ def _gather_bwd(max_run, n_diff, pair_budget, grad_bf16, res, g):
         g_flat = g_flat.astype(jnp.bfloat16)
     # 1. permute cotangent rows into gaussian-sorted order (one row-gather,
     #    lane-padded for the fast gather path, sliced back for the suffix)
-    y = aligned_gather_rows(g_flat, spos).astype(jnp.float32)
+    y = aligned_gather_rows(g_flat, spos)
+    if not grad_bf16:
+        y = y.astype(jnp.float32)
     # 2. segmented suffix-sum: after ceil(log2(max_run)) doubling passes,
-    #    y[i] = sum of g over i's run-suffix (runs delimited by skey).
-    s = 1
+    #    y[i] = sum of g over i's run-suffix.  The run-boundary masks are
+    #    PRECOMPUTED bit-planes in the inverse map (iteration-invariant),
+    #    applied as multiplies — no per-iteration pred compares or packed
+    #    bool layout copies.
+    s, p = 1, 0
     while s < max_run:
-        same = (skey[:-s] == skey[s:])[:, None]
-        y = jnp.concatenate([y[:-s] + jnp.where(same, y[s:], 0.0), y[-s:]], axis=0)
-        s *= 2
+        mf = ((run_masks[: m - s] >> p) & 1).astype(y.dtype)[:, None]
+        y = jnp.concatenate([y[:-s] + y[s:] * mf, y[-s:]], axis=0)
+        s, p = s * 2, p + 1
     # 3. each gaussian's total = its run head (masked for unreferenced rows;
     # under a pair budget, also for runs starting past the truncation)
-    head = aligned_gather_rows(y, jnp.minimum(starts, m - 1))
+    head = aligned_gather_rows(y, jnp.minimum(starts, m - 1)).astype(jnp.float32)
     grad = jnp.where(((n_ref > 0) & (starts < m))[:, None], head, 0.0)
     if nd < c:
         grad = jnp.pad(grad, ((0, 0), (0, c - nd)))
-    return grad, None, None, None, None, None
+    return grad, None, None, None, None, None, None
 
 
 gather_rows.defvjp(_gather_fwd, _gather_bwd)

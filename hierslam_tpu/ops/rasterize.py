@@ -63,6 +63,17 @@ class RasterConfig:
                                       # gaussians — a smaller K cuts the
                                       # per-iteration blend cost linearly;
                                       # drops are counted like any overflow.
+    escalate_tiles: int = 0           # OB: re-blend the OB highest-count
+                                      # tiles at escalate_k slots and replace
+                                      # their pixels — bounds the static-K
+                                      # truncation error at the few dense
+                                      # tiles where it concentrates, without
+                                      # paying a big K everywhere.  The CUDA
+                                      # reference renders every overlap
+                                      # (rasterizer_impl.cu:281-312); this is
+                                      # the static-shape equivalent.  0 = off.
+    escalate_k: int = 0               # K_big for escalated tiles (0 = 4x
+                                      # max_per_tile when escalate_tiles > 0)
     densify_max_per_tile: int = 0     # per-tile K for the densify
                                       # non-presence render (0 = 2x
                                       # max_per_tile, capped at 4096).  At
@@ -79,6 +90,10 @@ class RasterConfig:
         if self.backend not in ("pallas", "xla"):
             raise ValueError(f"unknown blend backend {self.backend!r}")
 
+    @property
+    def esc_k(self) -> int:
+        return self.escalate_k or 4 * self.max_per_tile
+
     def grid(self, height: int, width: int) -> Tuple[int, int]:
         th, tw = self.tile_shape
         return ((height + th - 1) // th, (width + tw - 1) // tw)
@@ -87,6 +102,9 @@ class RasterConfig:
 class Binning(NamedTuple):
     lists: binning.TileLists
     inverse: InverseMap
+    # escalated-tile data (None unless config.escalate_tiles > 0)
+    esc: Optional[binning.EscalatedLists] = None
+    esc_inverse: Optional[InverseMap] = None
 
 
 class RenderOutput(NamedTuple):
@@ -103,6 +121,42 @@ class RenderOutput(NamedTuple):
     # max_tiles_per_gaussian, enforced at RasterConfig construction);
     # None for cached-tracking renders that bypass the inverse map.
     n_grad_dropped: Optional[jax.Array] = None
+
+
+def _slot_ok(idx, g_rect, tx, ty):
+    """Live-slot mask: real index + current-pose rect/frustum re-check."""
+    return (
+        (idx >= 0)
+        & (g_rect[..., 4] > 0.5)
+        & (tx >= g_rect[..., 0]) & (tx < g_rect[..., 2])
+        & (ty >= g_rect[..., 1]) & (ty < g_rect[..., 3])
+    )
+
+
+def _replace_tiles(img, strip, big_ids, grid, tile_shape):
+    """Replace the tiles listed in ``big_ids`` of an assembled image with
+    the corresponding tiles of the escalated virtual-grid ``strip``.
+
+    img: [C, H, W]; strip: [C, th, OB*tw] (escalated tile j at columns
+    [j*tw, (j+1)*tw)).  Pure gathers/where — differentiable, and exact for
+    edge tiles (the merge happens on the padded tile grid, then re-crops).
+    """
+    C, H, W = img.shape
+    gy, gx = grid
+    th, tw = tile_shape
+    ob = big_ids.shape[0]
+    hp, wp = gy * th, gx * tw
+    base = jnp.pad(img, ((0, 0), (0, hp - H), (0, wp - W)))
+    tiles = base.reshape(C, gy, th, gx, tw).transpose(1, 3, 0, 2, 4)
+    tiles = tiles.reshape(gy * gx, C, th, tw)
+    st = strip.reshape(C, th, ob, tw).transpose(2, 0, 1, 3)       # [OB,C,th,tw]
+    aug = jnp.concatenate([st, jnp.zeros((1, C, th, tw), strip.dtype)])
+    pos = jnp.full((gy * gx,), ob, jnp.int32).at[big_ids].set(
+        jnp.arange(ob, dtype=jnp.int32)
+    )
+    merged = jnp.where((pos < ob)[:, None, None, None], aug[pos], tiles)
+    out = merged.reshape(gy, gx, C, th, tw).transpose(2, 0, 3, 1, 4)
+    return out.reshape(C, hp, wp)[:, :H, :W]
 
 
 def _normalize_inputs(opacities, scales):
@@ -137,16 +191,22 @@ def compute_binning(
         pixel_offset_y=pixel_offset_y, radius_margin_px=margin_px,
     )
     grid = config.grid(camera.height, camera.width)
-    lists = binning.bin_gaussians(
+    lists, esc = binning.bin_gaussians(
         prep.rect_min, prep.rect_max, prep.valid,
         jax.lax.stop_gradient(prep.depth), grid, config.max_per_tile,
         chunk=config.bin_chunk,
         max_tiles_per_gaussian=config.max_tiles_per_gaussian,
+        n_escalate=config.escalate_tiles, escalate_k=config.esc_k,
     )
     inverse = build_inverse_map(
         lists.idx, means3D.shape[0], config.max_tiles_per_gaussian
     )
-    return Binning(lists=lists, inverse=inverse)
+    esc_inverse = (
+        build_inverse_map(esc.idx, means3D.shape[0], config.max_tiles_per_gaussian)
+        if esc is not None
+        else None
+    )
+    return Binning(lists=lists, inverse=inverse, esc=esc, esc_inverse=esc_inverse)
 
 
 def rasterize(
@@ -188,17 +248,26 @@ def rasterize(
     )
 
     if binning_cache is None:
-        lists = binning.bin_gaussians(
+        lists, esc = binning.bin_gaussians(
             prep.rect_min, prep.rect_max, prep.valid,
             jax.lax.stop_gradient(prep.depth), grid, config.max_per_tile,
             chunk=config.bin_chunk,
             max_tiles_per_gaussian=config.max_tiles_per_gaussian,
+            n_escalate=config.escalate_tiles, escalate_k=config.esc_k,
         )
         inverse = build_inverse_map(
-        lists.idx, means3D.shape[0], config.max_tiles_per_gaussian
-    )
+            lists.idx, means3D.shape[0], config.max_tiles_per_gaussian
+        )
+        esc_inverse = (
+            build_inverse_map(
+                esc.idx, means3D.shape[0], config.max_tiles_per_gaussian
+            )
+            if esc is not None
+            else None
+        )
     else:
-        lists, inverse = binning_cache
+        lists, inverse = binning_cache.lists, binning_cache.inverse
+        esc, esc_inverse = binning_cache.esc, binning_cache.esc_inverse
 
     # One fused gather of all per-gaussian blend quantities (custom VJP —
     # backward routes cotangents through the inverse map, never a scatter).
@@ -230,8 +299,8 @@ def rasterize(
     )
     g_all = gather_rows(
         table, lists.idx, inverse.spos, inverse.skey, inverse.starts,
-        inverse.n_ref, config.max_tiles_per_gaussian, c_main,
-        config.grad_pair_budget, config.grad_bf16,
+        inverse.n_ref, inverse.run_masks, config.max_tiles_per_gaussian,
+        c_main, config.grad_pair_budget, config.grad_bf16,
     )
     g = g_all[..., :c_main]
     g_rect = jax.lax.stop_gradient(g_all[..., c_main:])
@@ -239,12 +308,7 @@ def rasterize(
     grid_y, grid_x = grid
     tx = (t_ids % grid_x).astype(jnp.float32)[:, None]
     ty = (t_ids // grid_x).astype(jnp.float32)[:, None]
-    slot_ok = (
-        (lists.idx >= 0)
-        & (g_rect[..., 4] > 0.5)
-        & (tx >= g_rect[..., 0]) & (tx < g_rect[..., 2])
-        & (ty >= g_rect[..., 1]) & (ty < g_rect[..., 3])
-    )
+    slot_ok = _slot_ok(lists.idx, g_rect, tx, ty)
 
     if config.backend == "pallas":
         from hierslam_tpu.ops.render_pallas import render_tiles_pallas
@@ -266,6 +330,56 @@ def rasterize(
             image_shape=(H, W), tile_shape=config.tile_shape, grid=grid,
             chunk=config.gaussian_chunk, tile_batch=config.tile_batch,
         )
+
+    if esc is not None:
+        # Second blend of the OB heaviest tiles at K_big slots on a virtual
+        # (1, OB) tile grid: each escalated tile's screen coordinates are
+        # translated so tile j lands at columns [j*tw, (j+1)*tw) — the blend
+        # math only sees (xy - pixel), so the translated render is exactly
+        # the tile's render at the bigger cap.  Gradients route through a
+        # second inverse map; the base blend's output for those tiles is
+        # discarded by the merge, so nothing double-counts.
+        th_, tw_ = config.tile_shape
+        ob = esc.tile_ids.shape[0]
+        gb_all = gather_rows(
+            table, esc.idx, esc_inverse.spos, esc_inverse.skey,
+            esc_inverse.starts, esc_inverse.n_ref, esc_inverse.run_masks,
+            config.max_tiles_per_gaussian, c_main, 0, config.grad_bf16,
+        )
+        gb = gb_all[..., :c_main]
+        gb_rect = jax.lax.stop_gradient(gb_all[..., c_main:])
+        btx = (esc.tile_ids % grid_x).astype(jnp.float32)[:, None]
+        bty = (esc.tile_ids // grid_x).astype(jnp.float32)[:, None]
+        slot_ok_b = _slot_ok(esc.idx, gb_rect, btx, bty)
+        j = jnp.arange(ob, dtype=jnp.float32)[:, None]
+        shift_x = (j - btx) * tw_
+        shift_y = -bty * th_
+        gb = gb.at[..., 0].add(shift_x).at[..., 1].add(shift_y)
+        if config.backend == "pallas":
+            from hierslam_tpu.ops.render_pallas import render_tiles_pallas
+
+            acc_b, ft_b, med_b = render_tiles_pallas(
+                gb, slot_ok_b, image_shape=(th_, ob * tw_),
+                tile_shape=config.tile_shape, grid=(1, ob),
+                interpret=config.pallas_interpret or jax.default_backend() == "cpu",
+                chunk=config.gaussian_chunk, counts=esc.count,
+            )
+        else:
+            acc_b, ft_b, med_b = render_xla.blend_tiles(
+                gb[..., 0:2], gb[..., 2:5],
+                jnp.where(slot_ok_b, gb[..., 5], 0.0), gb[..., 6],
+                gb[..., 7:], slot_ok_b,
+                image_shape=(th_, ob * tw_), tile_shape=config.tile_shape,
+                grid=(1, ob), chunk=config.gaussian_chunk,
+                tile_batch=config.tile_batch,
+            )
+        acc = _replace_tiles(acc, acc_b, esc.tile_ids, grid, config.tile_shape)
+        ftmed = _replace_tiles(
+            jnp.stack([final_T, med]),
+            jnp.stack([ft_b, med_b]),
+            esc.tile_ids, grid, config.tile_shape,
+        )
+        final_T, med = ftmed[0], ftmed[1]
 
     im = acc[:3]
     sem = acc[3 : 3 + semantics.shape[1]] if semantics is not None else None

@@ -33,11 +33,22 @@ scatter-free inverse map (ops/gather_vjp.py).
 
 External table column layout (matching ops/rasterize.py): [xy(2), conic(3),
 opa(1), depth(1), features(F)].
+
+EARLY-EXIT NOTE (measured and rejected): a variant gating each chunk body
+under ``pl.when`` on the tile's true overlap count plus a carried
+"any pixel still transmits" scalar (the CUDA kernel's per-pixel T<1e-4
+stop, forward.cu:358) was bit-identical but 2.6x SLOWER end-to-end
+(N=2M mapping 325 -> 842 ms/iter; blend micro fwd+bwd 140 -> 336 ms):
+the [tb, C, K] table DMA happens regardless of predication, the blend
+compute it can skip is only ~35 ms/iter, and the per-chunk scalar
+predicates broke Mosaic's software pipelining.  The kernels therefore run
+the dense unrolled chunk loop; ``counts`` is accepted in the public API
+(callers already plumb it) for host-side levers like per-population K
+classes, not in-kernel skipping.
 """
 from __future__ import annotations
 
 import functools
-import math
 from typing import Tuple
 
 import jax
@@ -48,7 +59,6 @@ from jax.experimental.pallas import tpu as pltpu
 ALPHA_MIN = 1.0 / 255.0
 ALPHA_MAX = 0.99
 T_DONE = 1e-4
-LOG_T_DONE = math.log(T_DONE)
 MEDIAN_DEFAULT = 15.0
 
 
@@ -104,22 +114,12 @@ def _pixel_grid(tile_id, tile_shape, grid_x):
     return px, py
 
 
-def _fwd_kernel(cnt_ref, tab_ref, ok_ref, acc_ref, ft_ref, med_ref,
-                logT_s, acc_s, ft_s, med_s, medf_s, alive_s, *, tile_shape,
-                grid_x, tile_batch, chunk, k_eff):
+def _fwd_kernel(tab_ref, ok_ref, acc_ref, ft_ref, med_ref, *, tile_shape,
+                grid_x, tile_batch, chunk):
     # tile_batch tiles per grid step amortizes per-step overhead; the K axis
     # is processed in chunks of `chunk` with carried log-transmittance, so
     # VMEM stays bounded for any K (and the triangular cumsum matmul cost
     # is K*Q instead of K^2 per pixel row).
-    #
-    # EARLY EXIT (the CUDA kernel's per-pixel T<1e-4 stop + per-tile range,
-    # forward.cu:358, rasterizer_impl.cu:116-138): each chunk body runs
-    # under pl.when, predicated on (a) the tile's true overlap count — slots
-    # past ceil(count/Q) chunks are all padding — and (b) a carried
-    # "any pixel still transmits" scalar.  Skipped chunks contribute exactly
-    # zero to every output (committed/ok masks), so outputs are bit-identical
-    # to the dense loop; on saturated tiles (real indoor scenes at K>=1024)
-    # this skips ~60-90% of the blend compute.
     K = tab_ref.shape[-1]
     n_ch = (K + chunk - 1) // chunk
     th, tw = tile_shape
@@ -127,140 +127,107 @@ def _fwd_kernel(cnt_ref, tab_ref, ok_ref, acc_ref, ft_ref, med_ref,
     for j in range(tile_batch):
         tile_id = pl.program_id(0) * tile_batch + j
         px, py = _pixel_grid(tile_id, tile_shape, grid_x)
-        logT_s[...] = jnp.zeros((P, 1), jnp.float32)
-        acc_s[...] = jnp.zeros((P, tab_ref.shape[1] - 7 + 2), jnp.float32)
-        ft_s[...] = jnp.ones((P,), jnp.float32)
-        med_s[...] = jnp.zeros((P,), jnp.float32)
-        medf_s[...] = jnp.zeros((P,), jnp.int32)
-        alive_s[0] = 1
-        n_needed = (jnp.minimum(cnt_ref[0, tile_id], k_eff) + chunk - 1) // chunk
+        logT = jnp.zeros((P, 1), jnp.float32)
+        acc = jnp.zeros((P, tab_ref.shape[1] - 7 + 2), jnp.float32)
+        ft = jnp.ones((P,), jnp.float32)
+        med_sum = jnp.zeros((P,), jnp.float32)
+        med_found = jnp.zeros((P,), jnp.bool_)
         for c in range(n_ch):
-            @pl.when((c < n_needed) & (alive_s[0] > 0))
-            def _body(c=c):
-                tab = tab_ref[j, :, c * chunk:(c + 1) * chunk]    # [C, Q]
-                ok = ok_ref[j, 0:1, c * chunk:(c + 1) * chunk] != 0
-                (dx, dy, power, alpha, contrib, a, Ta, Tb, committed, w,
-                 logT) = _chunk_core(tab, ok, logT_s[...], px, py)
-                feats = _feats_t(tab)             # [F+2, Q]
-                acc_s[...] = acc_s[...] + jax.lax.dot_general(
-                    w, feats, dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                ft_s[...] = jnp.minimum(
-                    ft_s[...], jnp.min(jnp.where(committed, Ta, 1.0), axis=-1)
-                )
-                dep = tab[6:7]
-                crossing = contrib & committed & (Tb > 0.5) & (Ta < 0.5)
-                med_s[...] = med_s[...] + jnp.sum(
-                    jnp.where(crossing, dep, 0.0), -1
-                )
-                medf_s[...] = medf_s[...] | jnp.any(crossing, -1).astype(jnp.int32)
-                logT_s[...] = logT
-                alive_s[0] = (jnp.max(logT) >= LOG_T_DONE).astype(jnp.int32)
-        acc_ref[j] = acc_s[...]
-        ft_ref[j, 0] = ft_s[...]
-        med_ref[j, 0] = jnp.where(medf_s[...] > 0, med_s[...], MEDIAN_DEFAULT)
+            tab = tab_ref[j, :, c * chunk:(c + 1) * chunk]    # [C, Q]
+            ok = ok_ref[j, 0:1, c * chunk:(c + 1) * chunk] != 0
+            (dx, dy, power, alpha, contrib, a, Ta, Tb, committed, w,
+             logT) = _chunk_core(tab, ok, logT, px, py)
+            feats = _feats_t(tab)             # [F+2, Q]
+            acc = acc + jax.lax.dot_general(
+                w, feats, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            ft = jnp.minimum(ft, jnp.min(jnp.where(committed, Ta, 1.0), axis=-1))
+            dep = tab[6:7]
+            crossing = contrib & committed & (Tb > 0.5) & (Ta < 0.5)
+            med_sum = med_sum + jnp.sum(jnp.where(crossing, dep, 0.0), -1)
+            med_found = med_found | jnp.any(crossing, -1)
+        acc_ref[j] = acc
+        ft_ref[j, 0] = ft
+        med_ref[j, 0] = jnp.where(med_found, med_sum, MEDIAN_DEFAULT)
 
 
-def _bwd_kernel(cnt_ref, tab_ref, ok_ref, gacc_ref, gft_ref, gmed_ref,
-                dtab_ref, logTs_s, Tf_s, S_s, alive_s, nex_s, *,
-                tile_shape, grid_x, tile_batch, chunk, k_eff):
-  # Same early-exit structure as the forward: pass 1 runs chunks under
-  # pl.when until the count bound or transmittance death, recording each
-  # chunk's entry log-transmittance in scratch; pass 2 emits gradients only
-  # for the executed prefix (skipped chunks have exactly-zero cotangents:
-  # their w/committed/contrib are all zero).
+def _bwd_kernel(tab_ref, ok_ref, gacc_ref, gft_ref, gmed_ref, dtab_ref, *,
+                tile_shape, grid_x, tile_batch, chunk):
   K = tab_ref.shape[-1]
   n_ch = (K + chunk - 1) // chunk
   th, tw = tile_shape
   P = th * tw
-  C = tab_ref.shape[1]
   for j in range(tile_batch):
     tile_id = pl.program_id(0) * tile_batch + j
     px, py = _pixel_grid(tile_id, tile_shape, grid_x)
     gacc = gacc_ref[j]                # [P, F+2]
     gft = gft_ref[j]                  # [P, 1]
     gmed = gmed_ref[j]                # [P, 1]
-    n_needed = (jnp.minimum(cnt_ref[0, tile_id], k_eff) + chunk - 1) // chunk
 
     # pass 1 (front-to-back): per-chunk entry log-transmittance + T_final
-    logTs_s[0] = jnp.zeros((P, 1), jnp.float32)
-    Tf_s[...] = jnp.ones((P, 1), jnp.float32)
-    alive_s[0] = 1
-    nex_s[0] = 0
+    logTs = [jnp.zeros((P, 1), jnp.float32)]
+    T_final = jnp.ones((P, 1), jnp.float32)
     for c in range(n_ch):
-        @pl.when((c < n_needed) & (alive_s[0] > 0))
-        def _pass1(c=c):
-            tab = tab_ref[j, :, c * chunk:(c + 1) * chunk]
-            ok = ok_ref[j, 0:1, c * chunk:(c + 1) * chunk] != 0
-            (_, _, _, _, _, _, Ta, _, committed, _, logT_next) = _chunk_core(
-                tab, ok, logTs_s[c], px, py
-            )
-            Tf_s[...] = jnp.minimum(
-                Tf_s[...],
-                jnp.min(jnp.where(committed, Ta, 1.0), axis=-1, keepdims=True),
-            )
-            logTs_s[c + 1] = logT_next
-            nex_s[0] = c + 1
-            alive_s[0] = (jnp.max(logT_next) >= LOG_T_DONE).astype(jnp.int32)
+        tab = tab_ref[j, :, c * chunk:(c + 1) * chunk]
+        ok = ok_ref[j, 0:1, c * chunk:(c + 1) * chunk] != 0
+        (_, _, _, _, _, _, Ta, _, committed, _, logT_next) = _chunk_core(
+            tab, ok, logTs[-1], px, py
+        )
+        T_final = jnp.minimum(
+            T_final, jnp.min(jnp.where(committed, Ta, 1.0), axis=-1, keepdims=True)
+        )
+        logTs.append(logT_next)
 
     # pass 2 (back-to-front): global suffix sums via the carried S
-    S_s[...] = jnp.zeros((P, 1), jnp.float32)
-    T_final = Tf_s[...]
+    S_carry = jnp.zeros((P, 1), jnp.float32)
     for c in reversed(range(n_ch)):
-        dtab_ref[j, :, c * chunk:(c + 1) * chunk] = jnp.zeros(
-            (C, chunk), jnp.float32
+        tab = tab_ref[j, :, c * chunk:(c + 1) * chunk]
+        ok = ok_ref[j, 0:1, c * chunk:(c + 1) * chunk] != 0
+        (dx, dy, power, alpha, contrib, a, Ta, Tb, committed, w,
+         _) = _chunk_core(tab, ok, logTs[c], px, py)
+        feats = _feats_t(tab)             # [F+2, Q]
+        # s_i = gacc . f_i ; suffix sums S_i = sum_{j>i} s_j w_j (global)
+        s = jax.lax.dot_general(
+            gacc, feats, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                  # [P, Q]
+        sw = s * w
+        sw_tot = jnp.sum(sw, axis=-1, keepdims=True)
+        S = sw_tot - _cumsum_lanes(sw) + S_carry
+        S_carry = S_carry + sw_tot
+        u = 1.0 - a
+        da = committed * contrib * (s * Tb - (S + gft * T_final) / u)
+        # alpha = min(0.99, opa e^p): the clamp kills the gradient
+        live = (alpha < ALPHA_MAX) & contrib
+        dopa_pix = jnp.where(live, jnp.exp(power) * da, 0.0)     # [P, Q]
+        dpow = jnp.where(live, alpha * da, 0.0)
+
+        def colsum(x):  # [P, Q] -> [1, Q]
+            return jnp.sum(x, axis=0, keepdims=True)
+
+        c_a = tab[2:3]
+        c_b = tab[3:4]
+        d_x = colsum(dpow * (-(c_a * dx + c_b * dy)))
+        c_c = tab[4:5]
+        d_y = colsum(dpow * (-(c_c * dy + c_b * dx)))
+        d_ca = colsum(-0.5 * dx * dx * dpow)
+        d_cb = colsum(-dx * dy * dpow)
+        d_cc = colsum(-0.5 * dy * dy * dpow)
+        d_opa = colsum(dopa_pix)
+
+        # dfeats_t[ch, q] = sum_p gacc[p, ch] w[p, q]
+        dfeats = jax.lax.dot_general(
+            gacc, w, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                  # [F+2, Q]
+        n_feat = tab.shape[0] - 7
+        crossing = contrib & committed & (Tb > 0.5) & (Ta < 0.5)
+        d_dep = dfeats[n_feat : n_feat + 1] + colsum(crossing * gmed)
+
+        dtab_ref[j, :, c * chunk:(c + 1) * chunk] = jnp.concatenate(
+            [d_x, d_y, d_ca, d_cb, d_cc, d_opa, d_dep, dfeats[:n_feat]], axis=0
         )
-
-        @pl.when(c < nex_s[0])
-        def _pass2(c=c):
-            tab = tab_ref[j, :, c * chunk:(c + 1) * chunk]
-            ok = ok_ref[j, 0:1, c * chunk:(c + 1) * chunk] != 0
-            (dx, dy, power, alpha, contrib, a, Ta, Tb, committed, w,
-             _) = _chunk_core(tab, ok, logTs_s[c], px, py)
-            feats = _feats_t(tab)             # [F+2, Q]
-            # s_i = gacc . f_i ; suffix sums S_i = sum_{j>i} s_j w_j (global)
-            s = jax.lax.dot_general(
-                gacc, feats, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )                                  # [P, Q]
-            sw = s * w
-            sw_tot = jnp.sum(sw, axis=-1, keepdims=True)
-            S = sw_tot - _cumsum_lanes(sw) + S_s[...]
-            S_s[...] = S_s[...] + sw_tot
-            u = 1.0 - a
-            da = committed * contrib * (s * Tb - (S + gft * T_final) / u)
-            # alpha = min(0.99, opa e^p): the clamp kills the gradient
-            live = (alpha < ALPHA_MAX) & contrib
-            dopa_pix = jnp.where(live, jnp.exp(power) * da, 0.0)     # [P, Q]
-            dpow = jnp.where(live, alpha * da, 0.0)
-
-            def colsum(x):  # [P, Q] -> [1, Q]
-                return jnp.sum(x, axis=0, keepdims=True)
-
-            c_a = tab[2:3]
-            c_b = tab[3:4]
-            d_x = colsum(dpow * (-(c_a * dx + c_b * dy)))
-            c_c = tab[4:5]
-            d_y = colsum(dpow * (-(c_c * dy + c_b * dx)))
-            d_ca = colsum(-0.5 * dx * dx * dpow)
-            d_cb = colsum(-dx * dy * dpow)
-            d_cc = colsum(-0.5 * dy * dy * dpow)
-            d_opa = colsum(dopa_pix)
-
-            # dfeats_t[ch, q] = sum_p gacc[p, ch] w[p, q]
-            dfeats = jax.lax.dot_general(
-                gacc, w, dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )                                  # [F+2, Q]
-            n_feat = tab.shape[0] - 7
-            crossing = contrib & committed & (Tb > 0.5) & (Ta < 0.5)
-            d_dep = dfeats[n_feat : n_feat + 1] + colsum(crossing * gmed)
-
-            dtab_ref[j, :, c * chunk:(c + 1) * chunk] = jnp.concatenate(
-                [d_x, d_y, d_ca, d_cb, d_cc, d_opa, d_dep, dfeats[:n_feat]],
-                axis=0,
-            )
 
 
 def _tb_fwd(k, q):
@@ -304,9 +271,8 @@ def _pad_k(table, ok, k_pad):
     )
 
 
-def _run_fwd(table, ok, counts, grid, tile_shape, interpret, chunk=256):
+def _run_fwd(table, ok, grid, tile_shape, interpret, chunk=256):
     T, K, C = table.shape
-    k_eff = K
     k_pad = max(128, -(-K // 128) * 128)
     table, ok = _pad_k(table, ok, k_pad)
     K = k_pad
@@ -320,18 +286,14 @@ def _run_fwd(table, ok, counts, grid, tile_shape, interpret, chunk=256):
     t_pad = nsteps * tb
     tab_t = _pad_tiles(jnp.swapaxes(table, 1, 2), t_pad)  # [Tp, C, K]
     okp = _pad_tiles(ok.astype(jnp.int32)[:, None, :], t_pad)
-    # SMEM input windows pad the minor dim to 512B/row: lay counts out as
-    # [1, t_pad] (tiles in lanes) so the window is ~4*T bytes, not 512*T.
-    cnt = jnp.pad(counts.astype(jnp.int32), (0, t_pad - T))[None, :]
     kern = functools.partial(
         _fwd_kernel, tile_shape=tile_shape, grid_x=grid_x, tile_batch=tb,
-        chunk=q, k_eff=k_eff,
+        chunk=q,
     )
     acc, ft, med = pl.pallas_call(
         kern,
         grid=(nsteps,),
         in_specs=[
-            pl.BlockSpec(cnt.shape, lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((tb, C, K), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tb, 1, K), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
@@ -345,24 +307,15 @@ def _run_fwd(table, ok, counts, grid, tile_shape, interpret, chunk=256):
             jax.ShapeDtypeStruct((t_pad, 1, P), jnp.float32),
             jax.ShapeDtypeStruct((t_pad, 1, P), jnp.float32),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((P, 1), jnp.float32),
-            pltpu.VMEM((P, n_feat + 2), jnp.float32),
-            pltpu.VMEM((P,), jnp.float32),
-            pltpu.VMEM((P,), jnp.float32),
-            pltpu.VMEM((P,), jnp.int32),
-            pltpu.SMEM((1,), jnp.int32),
-        ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(cnt, tab_t, okp)
+    )(tab_t, okp)
     return acc[:T], ft[:T, 0], med[:T, 0]
 
 
-def _run_bwd(table, ok, counts, gacc, gft, gmed, grid, tile_shape, interpret,
-             chunk=256):
+def _run_bwd(table, ok, gacc, gft, gmed, grid, tile_shape, interpret, chunk=256):
     T, K_in, C = table.shape
     K = max(128, -(-K_in // 128) * 128)
     table, ok = _pad_k(table, ok, K)
@@ -376,19 +329,14 @@ def _run_bwd(table, ok, counts, gacc, gft, gmed, grid, tile_shape, interpret,
     t_pad = nsteps * tb
     tab_t = _pad_tiles(jnp.swapaxes(table, 1, 2), t_pad)
     okp = _pad_tiles(ok.astype(jnp.int32)[:, None, :], t_pad)
-    # SMEM input windows pad the minor dim to 512B/row: lay counts out as
-    # [1, t_pad] (tiles in lanes) so the window is ~4*T bytes, not 512*T.
-    cnt = jnp.pad(counts.astype(jnp.int32), (0, t_pad - T))[None, :]
-    n_ch = (K + q - 1) // q
     kern = functools.partial(
         _bwd_kernel, tile_shape=tile_shape, grid_x=grid_x, tile_batch=tb,
-        chunk=q, k_eff=K_in,
+        chunk=q,
     )
     dtab_t = pl.pallas_call(
         kern,
         grid=(nsteps,),
         in_specs=[
-            pl.BlockSpec(cnt.shape, lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((tb, C, K), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tb, 1, K), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tb, P, n_feat + 2), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -399,18 +347,11 @@ def _run_bwd(table, ok, counts, gacc, gft, gmed, grid, tile_shape, interpret,
             pl.BlockSpec((tb, C, K), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[jax.ShapeDtypeStruct((t_pad, C, K), jnp.float32)],
-        scratch_shapes=[
-            pltpu.VMEM((n_ch + 1, P, 1), jnp.float32),
-            pltpu.VMEM((P, 1), jnp.float32),
-            pltpu.VMEM((P, 1), jnp.float32),
-            pltpu.SMEM((1,), jnp.int32),
-            pltpu.SMEM((1,), jnp.int32),
-        ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(cnt, tab_t, okp, _pad_tiles(gacc, t_pad),
+    )(tab_t, okp, _pad_tiles(gacc, t_pad),
       _pad_tiles(gft[:, :, None], t_pad), _pad_tiles(gmed[:, :, None], t_pad))[0]
     return jnp.swapaxes(dtab_t[:T], 1, 2)[:, :K_in]
 
@@ -419,29 +360,22 @@ def _run_bwd(table, ok, counts, gacc, gft, gmed, grid, tile_shape, interpret,
 def blend_tiles_pallas(table, ok, counts, grid, tile_shape, interpret=False,
                        chunk=256):
     """Fused tile blend.  table [T,K,7+F], ok [T,K] bool, counts [T] int32
-    true per-tile overlap counts (early-exit bound; pass None for "all K")
-    -> (acc [T,P,F+2], final_T [T,P], med [T,P])."""
-    counts = _norm_counts(counts, table)
-    return tuple(_run_fwd(table, ok, counts, grid, tile_shape, interpret, chunk))
-
-
-def _norm_counts(counts, table):
-    if counts is None:
-        return jnp.full((table.shape[0],), table.shape[1], jnp.int32)
-    return counts
+    true per-tile overlap counts (unused hint; see EARLY-EXIT NOTE) ->
+    (acc [T,P,F+2], final_T [T,P], med [T,P])."""
+    del counts
+    return tuple(_run_fwd(table, ok, grid, tile_shape, interpret, chunk))
 
 
 def _blend_fwd(table, ok, counts, grid, tile_shape, interpret, chunk):
-    counts = _norm_counts(counts, table)
-    out = _run_fwd(table, ok, counts, grid, tile_shape, interpret, chunk)
-    return tuple(out), (table, ok, counts)
+    del counts
+    out = _run_fwd(table, ok, grid, tile_shape, interpret, chunk)
+    return tuple(out), (table, ok)
 
 
 def _blend_bwd(grid, tile_shape, interpret, chunk, res, cots):
-    table, ok, counts = res
+    table, ok = res
     gacc, gft, gmed = cots
-    dtab = _run_bwd(table, ok, counts, gacc, gft, gmed, grid, tile_shape,
-                    interpret, chunk)
+    dtab = _run_bwd(table, ok, gacc, gft, gmed, grid, tile_shape, interpret, chunk)
     return dtab, None, None
 
 
@@ -457,7 +391,7 @@ def render_tiles_pallas(
     grid: Tuple[int, int],
     interpret: bool = False,
     chunk: int = 256,
-    counts: jax.Array = None,   # [T] true overlap counts (early-exit bound)
+    counts: jax.Array = None,   # [T] true overlap counts (unused hint)
 ):
     """blend_tiles-compatible wrapper: returns (channels [F+2,H,W],
     final_T [H,W], median [H,W])."""

@@ -184,6 +184,8 @@ def make_dp_mapper(
                 loss, parts = mapping_loss(
                     out, im_gt, depth_gt, labels, mlp_, it, loss_cfg
                 )
+                parts = dict(parts)
+                parts["n_grad_dropped"] = out.n_grad_dropped.astype(jnp.float32)
                 return loss, (out.radii, parts)
 
             if wants_mlp:

@@ -213,6 +213,11 @@ def make_mapper(
                 loss, parts = mapping_loss(
                     out, im_gt, depth_gt, labels, mlp_, it, loss_cfg
                 )
+                parts = dict(parts)
+                # surface gradient-routing truncation (an undersized
+                # grad_pair_budget silently biases mapping gradients —
+                # VERDICT r2 weak #8); the runner warns on nonzero.
+                parts["n_grad_dropped"] = out.n_grad_dropped.astype(jnp.float32)
                 return loss, (out.radii, parts)
 
             wants_mlp = with_sem and loss_cfg.use_mlp

@@ -598,6 +598,17 @@ class SLAMRunner:
             else:
                 self.bucket = max(self.bucket, self._choose_bucket())
             self.logger.log_iters(t, "mapping", losses)
+            n_gd = int(np.max(np.asarray(losses.get("n_grad_dropped", 0.0))))
+            if n_gd > 0:
+                import warnings
+
+                warnings.warn(
+                    f"frame {t}: {n_gd} valid (tile, slot) gradient routes "
+                    f"truncated by grad_pair_budget="
+                    f"{self.rc.grad_pair_budget} — mapping gradients are "
+                    "biased; raise raster.grad_pair_budget"
+                )
+                self.logger.log(t, n_grad_dropped=n_gd)
             final_loss = float(losses["loss"][-1])
             if pre_state is not None and not np.isfinite(final_loss):
                 # dump the exact pre-phase state + inputs so the divergence

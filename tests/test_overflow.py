@@ -54,3 +54,90 @@ def test_overflow_truncation_bounded_error():
     # depth image agrees too
     d_mae = float(jnp.mean(jnp.abs(lo.depth - hi.depth)))
     assert d_mae < 0.05, d_mae
+
+
+def test_escalated_k_matches_big_k_exactly():
+    """With escalate_tiles covering every overflowing tile and escalate_k
+    >= the max true count, the two-population render must EQUAL the plain
+    big-K render — same depth order, same math, merged per tile
+    (VERDICT r2 item 3: bound the truncation error at shipped K)."""
+    import jax
+
+    camera = setup_camera(64, 48, intrinsics_matrix(40, 40, 32, 24), np.eye(4))
+    s = _dense_scene()
+
+    def render(rc):
+        return rasterize(
+            s["means3D"], s["colors"], s["opacities"], s["scales"],
+            s["rotations"], camera, config=rc,
+        )
+
+    rc_small = RasterConfig(max_per_tile=32, gaussian_chunk=32, tile_batch=4,
+                            max_tiles_per_gaussian=16)
+    rc_esc = RasterConfig(max_per_tile=32, gaussian_chunk=32, tile_batch=4,
+                          max_tiles_per_gaussian=16,
+                          escalate_tiles=12, escalate_k=4096)
+    rc_big = RasterConfig(max_per_tile=4096, gaussian_chunk=32, tile_batch=4,
+                          max_tiles_per_gaussian=16)
+    lo, esc, big = render(rc_small), render(rc_esc), render(rc_big)
+
+    # scene overflows at K=32 on all 12 tiles; escalation recovers every
+    # dropped pair (12 tiles cover the whole 4x3-tile image)
+    assert int(lo.n_dropped) > 0
+    assert int(esc.n_dropped) == 0, int(esc.n_dropped)
+    np.testing.assert_allclose(np.asarray(esc.im), np.asarray(big.im), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(esc.depth), np.asarray(big.depth), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(esc.median_depth), np.asarray(big.median_depth), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(esc.final_opacity), np.asarray(big.final_opacity), atol=1e-5
+    )
+
+    # gradients agree with the big-K render too (both exact routings)
+    def loss(rc):
+        def f(means, colors, opa):
+            out = rasterize(
+                means, colors, opa, s["scales"], s["rotations"], camera,
+                config=rc,
+            )
+            return jnp.sum(out.im**2) + jnp.sum(out.depth**2)
+        return jax.grad(f, argnums=(0, 1, 2))(
+            s["means3D"], s["colors"], s["opacities"]
+        )
+
+    g_esc = loss(rc_esc)
+    g_big = loss(rc_big)
+    for a, b in zip(g_esc, g_big):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-3, rtol=1e-3
+        )
+
+
+def test_escalation_with_amortized_binning():
+    """compute_binning carries the escalated lists through the cache path
+    (the mapper's amortized window binning)."""
+    from hierslam_tpu.ops.rasterize import compute_binning
+
+    camera = setup_camera(64, 48, intrinsics_matrix(40, 40, 32, 24), np.eye(4))
+    s = _dense_scene()
+    rc = RasterConfig(max_per_tile=32, gaussian_chunk=32, tile_batch=4,
+                      max_tiles_per_gaussian=16,
+                      escalate_tiles=12, escalate_k=1024)
+    bc = compute_binning(
+        s["means3D"], jnp.tile(s["scales"], (1, 3)), s["rotations"], camera, rc
+    )
+    assert bc.esc is not None and bc.esc_inverse is not None
+    cached = rasterize(
+        s["means3D"], s["colors"], s["opacities"], s["scales"],
+        s["rotations"], camera, config=rc, binning_cache=bc,
+    )
+    fresh = rasterize(
+        s["means3D"], s["colors"], s["opacities"], s["scales"],
+        s["rotations"], camera, config=rc,
+    )
+    np.testing.assert_allclose(
+        np.asarray(cached.im), np.asarray(fresh.im), atol=1e-5
+    )

@@ -193,7 +193,7 @@ def test_gather_rows_backward_exact():
 
     def f(a):
         out = gather_rows(a, jnp.asarray(idx), inv.spos, inv.skey,
-                          inv.starts, inv.n_ref, max_run)
+                          inv.starts, inv.n_ref, inv.run_masks, max_run)
         return jnp.sum(out * cot)
 
     def f_ref(a):

@@ -48,6 +48,8 @@ rc = RasterConfig(
     grad_pair_budget=int(os.environ.get("PROBE_PAIR_BUDGET", "1500000")),
     grad_bf16=os.environ.get("PROBE_BF16", "1") == "1",
     track_max_per_tile=0,
+    escalate_tiles=int(os.environ.get("PROBE_ESC_TILES", "0")),
+    escalate_k=int(os.environ.get("PROBE_ESC_K", "0")),
 )
 
 out = render_gaussians(params, variables["active"], jnp.array([1.0, 0, 0, 0]),

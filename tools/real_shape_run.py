@@ -20,7 +20,8 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def build_config(basedir, workdir, W, H, max_per_tile, map_every, capacity):
+def build_config(basedir, workdir, W, H, max_per_tile, map_every, capacity,
+                 escalate_tiles=0, escalate_k=0, gt_poses=False):
     return dict(
         workdir=workdir,
         run_name="proc_room",
@@ -46,6 +47,7 @@ def build_config(basedir, workdir, W, H, max_per_tile, map_every, capacity):
             grad_pair_budget=int(os.environ.get("RS_BUDGET", 3_000_000)),
             grad_bf16=os.environ.get("RS_BF16", "1") == "1",
             track_max_per_tile=int(os.environ.get("RS_TRACK_K", 512)),
+            escalate_tiles=escalate_tiles, escalate_k=escalate_k,
         ),
         model=dict(flag_use_embedding=1, eval_gt_transfer=False),
         data=dict(
@@ -68,7 +70,7 @@ def build_config(basedir, workdir, W, H, max_per_tile, map_every, capacity):
             ),
         ),
         tracking=dict(
-            use_gt_poses=False, forward_prop=True, num_iters=40,
+            use_gt_poses=gt_poses, forward_prop=True, num_iters=40,
             use_sil_for_loss=True, sil_thres=0.99, use_l1=True,
             ignore_outlier_depth_loss=False,
             loss_weights=dict(im=0.5, depth=1.0),
@@ -122,8 +124,15 @@ def overflow_quality_check(params_np, config, dataset, k_lo, n_frames, every=25)
 
     results = {}
     renders = {}
-    for k in (k_lo, 2 * k_lo):
-        rc = raster_config({**config, "raster": {**config["raster"], "max_per_tile": k}})
+    for mult in (1, 2):
+        k = k_lo * mult
+        # the reference point doubles the WHOLE cap config (base K and the
+        # escalated-tile cap), so the diff measures everything the shipped
+        # caps still truncate
+        rr = dict(config["raster"], max_per_tile=k)
+        if rr.get("escalate_tiles"):
+            rr["escalate_k"] = (rr.get("escalate_k") or 4 * k_lo) * mult
+        rc = raster_config({**config, "raster": rr})
 
         @jax.jit
         def render(t):
@@ -137,9 +146,9 @@ def overflow_quality_check(params_np, config, dataset, k_lo, n_frames, every=25)
             out = render(t)
             ims.append(np.clip(np.asarray(out.im), 0, 1))
             drops.append(int(out.n_dropped))
-        renders[k] = ims
+        renders[mult] = ims
         results[f"overflow_pairs_K{k}"] = float(np.mean(drops))
-    mses = [np.mean((a - b) ** 2) for a, b in zip(renders[k_lo], renders[2 * k_lo])]
+    mses = [np.mean((a - b) ** 2) for a, b in zip(renders[1], renders[2])]
     mse = float(np.mean(mses))
     results["overflow_psnr_K_vs_2K"] = float(10 * np.log10(1.0 / max(mse, 1e-12)))
     return results
@@ -154,6 +163,14 @@ def main():
     ap.add_argument("--max-per-tile", type=int, default=1024)
     ap.add_argument("--map-every", type=int, default=8)
     ap.add_argument("--capacity", type=int, default=2_000_000)
+    ap.add_argument("--escalate-tiles", type=int, default=384)
+    ap.add_argument("--escalate-k", type=int, default=4096)
+    ap.add_argument(
+        "--gt-poses", action="store_true",
+        help="upper-bound calibration run: GT poses instead of tracking "
+        "(separates tracker error from raster truncation / densify bloat; "
+        "VERDICT r2 item 5)",
+    )
     ap.add_argument("--skip-gen", action="store_true")
     args = ap.parse_args()
 
@@ -167,7 +184,11 @@ def main():
     from hierslam_tpu.slam.pipeline import run_slam
 
     cfg = build_config(args.data, args.workdir, W, H, args.max_per_tile,
-                       args.map_every, args.capacity)
+                       args.map_every, args.capacity,
+                       escalate_tiles=args.escalate_tiles,
+                       escalate_k=args.escalate_k, gt_poses=args.gt_poses)
+    if args.gt_poses:
+        cfg["run_name"] = "proc_room_gtpose"
     t0 = time.time()
     params_np, summary, results = run_slam(cfg, do_eval=True)
     wall = time.time() - t0
@@ -188,12 +209,15 @@ def main():
         "wall_s": round(wall, 1),
         "frames": n_frames,
         "image": [W, H],
+        "mode": "gt_pose_upper_bound" if args.gt_poses else "full_slam",
         "summary": {k: (round(v, 4) if isinstance(v, float) else v)
                     for k, v in summary.items()},
         "metrics": {k: round(float(v), 4) for k, v in results.items()},
         "overflow_quality": {k: round(v, 2) for k, v in oq.items()},
     }
-    out_path = os.path.join(args.workdir, "proc_room", "real_shape_report.json")
+    out_path = os.path.join(
+        args.workdir, cfg["run_name"], "real_shape_report.json"
+    )
     with open(out_path, "w") as f:
         json.dump(report, f, indent=2)
     print(json.dumps(report, indent=2))
