@@ -92,7 +92,14 @@ class RasterConfig:
 
     @property
     def esc_k(self) -> int:
-        return self.escalate_k or 4 * self.max_per_tile
+        k = self.escalate_k or 4 * self.max_per_tile
+        if self.escalate_tiles > 0 and k % self.max_per_tile != 0:
+            raise ValueError(
+                f"escalate_k ({k}) must be a multiple of max_per_tile "
+                f"({self.max_per_tile}): escalated lists are routed through "
+                "the combined inverse map as virtual K-wide tiles"
+            )
+        return k
 
     def grid(self, height: int, width: int) -> Tuple[int, int]:
         th, tw = self.tile_shape
@@ -101,10 +108,13 @@ class RasterConfig:
 
 class Binning(NamedTuple):
     lists: binning.TileLists
+    # ONE inverse map over base + escalated lists (escalated rows appended
+    # as virtual K-wide tiles): one gather, one gradient-routing pass, one
+    # set of rank probes — a second map's probes alone cost ~35 ms/frame
+    # at N=2M because probe count (N), not list size, dominates.
     inverse: InverseMap
     # escalated-tile data (None unless config.escalate_tiles > 0)
     esc: Optional[binning.EscalatedLists] = None
-    esc_inverse: Optional[InverseMap] = None
 
 
 class RenderOutput(NamedTuple):
@@ -199,14 +209,18 @@ def compute_binning(
         n_escalate=config.escalate_tiles, escalate_k=config.esc_k,
     )
     inverse = build_inverse_map(
-        lists.idx, means3D.shape[0], config.max_tiles_per_gaussian
+        _combined_idx(lists, esc, config.max_per_tile),
+        means3D.shape[0], config.max_tiles_per_gaussian,
     )
-    esc_inverse = (
-        build_inverse_map(esc.idx, means3D.shape[0], config.max_tiles_per_gaussian)
-        if esc is not None
-        else None
-    )
-    return Binning(lists=lists, inverse=inverse, esc=esc, esc_inverse=esc_inverse)
+    return Binning(lists=lists, inverse=inverse, esc=esc)
+
+
+def _combined_idx(lists, esc, k):
+    """Base [T, K] lists + escalated lists appended as virtual K-wide
+    tiles — one index array for one gather + one inverse map."""
+    if esc is None:
+        return lists.idx
+    return jnp.concatenate([lists.idx, esc.idx.reshape(-1, k)], axis=0)
 
 
 def rasterize(
@@ -256,18 +270,12 @@ def rasterize(
             n_escalate=config.escalate_tiles, escalate_k=config.esc_k,
         )
         inverse = build_inverse_map(
-            lists.idx, means3D.shape[0], config.max_tiles_per_gaussian
-        )
-        esc_inverse = (
-            build_inverse_map(
-                esc.idx, means3D.shape[0], config.max_tiles_per_gaussian
-            )
-            if esc is not None
-            else None
+            _combined_idx(lists, esc, config.max_per_tile),
+            means3D.shape[0], config.max_tiles_per_gaussian,
         )
     else:
         lists, inverse = binning_cache.lists, binning_cache.inverse
-        esc, esc_inverse = binning_cache.esc, binning_cache.esc_inverse
+        esc = binning_cache.esc
 
     # One fused gather of all per-gaussian blend quantities (custom VJP —
     # backward routes cotangents through the inverse map, never a scatter).
@@ -297,11 +305,14 @@ def rasterize(
         [xy, prep.conic, opacities[:, None], prep.depth[:, None], feats, rect_cols],
         axis=1,
     )
-    g_all = gather_rows(
-        table, lists.idx, inverse.spos, inverse.skey, inverse.starts,
+    g_comb = gather_rows(
+        table, _combined_idx(lists, esc, config.max_per_tile),
+        inverse.spos, inverse.skey, inverse.starts,
         inverse.n_ref, inverse.run_masks, config.max_tiles_per_gaussian,
         c_main, config.grad_pair_budget, config.grad_bf16,
     )
+    n_tiles = lists.idx.shape[0]
+    g_all = g_comb[:n_tiles]
     g = g_all[..., :c_main]
     g_rect = jax.lax.stop_gradient(g_all[..., c_main:])
     t_ids = jnp.arange(lists.idx.shape[0], dtype=jnp.int32)
@@ -341,11 +352,7 @@ def rasterize(
         # discarded by the merge, so nothing double-counts.
         th_, tw_ = config.tile_shape
         ob = esc.tile_ids.shape[0]
-        gb_all = gather_rows(
-            table, esc.idx, esc_inverse.spos, esc_inverse.skey,
-            esc_inverse.starts, esc_inverse.n_ref, esc_inverse.run_masks,
-            config.max_tiles_per_gaussian, c_main, 0, config.grad_bf16,
-        )
+        gb_all = g_comb[n_tiles:].reshape(ob, config.esc_k, -1)
         gb = gb_all[..., :c_main]
         gb_rect = jax.lax.stop_gradient(gb_all[..., c_main:])
         btx = (esc.tile_ids % grid_x).astype(jnp.float32)[:, None]
@@ -397,10 +404,16 @@ def rasterize(
         n_dropped=lists.n_dropped,
         tile_count=lists.count,
         # the segmented-scan backward is exact unless a grad_pair_budget
-        # truncates routing below the true valid-reference count
+        # truncates routing below the true valid-reference count (combined
+        # base + escalated populations — they share one inverse map)
         n_grad_dropped=(
             jnp.maximum(
                 jnp.sum(jnp.minimum(lists.count, config.max_per_tile))
+                + (
+                    jnp.sum(jnp.minimum(esc.count, config.esc_k))
+                    if esc is not None
+                    else 0
+                )
                 - config.grad_pair_budget,
                 0,
             )

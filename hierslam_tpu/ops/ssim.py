@@ -53,14 +53,32 @@ def _filter(img: jax.Array, win: jax.Array) -> jax.Array:
     return out[0]
 
 
-def calc_ssim(img1: jax.Array, img2: jax.Array, window_size: int = 11) -> jax.Array:
-    """Mean SSIM between two [C, H, W] images."""
+def ssim_ref_stats(img2: jax.Array, window_size: int = 11):
+    """(mu2, sigma2_sq) of a reference image — constant across an
+    optimization phase, precompute once and pass to :func:`calc_ssim`."""
+    win = jnp.asarray(_window(window_size, 1.5))
+    mu2 = _filter(img2, win)
+    sigma2_sq = _filter(img2 * img2, win) - mu2 * mu2
+    return mu2, sigma2_sq
+
+
+def calc_ssim(img1: jax.Array, img2: jax.Array, window_size: int = 11,
+              ref_stats=None) -> jax.Array:
+    """Mean SSIM between two [C, H, W] images.
+
+    ``ref_stats``: optional precomputed :func:`ssim_ref_stats` of ``img2``
+    (the GT side is iteration-invariant during mapping — skipping its two
+    filters per iteration).
+    """
     win = jnp.asarray(_window(window_size, 1.5))
     mu1 = _filter(img1, win)
-    mu2 = _filter(img2, win)
+    if ref_stats is None:
+        mu2 = _filter(img2, win)
+        sigma2_sq = _filter(img2 * img2, win) - mu2 * mu2
+    else:
+        mu2, sigma2_sq = ref_stats
     mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
     sigma1_sq = _filter(img1 * img1, win) - mu1_sq
-    sigma2_sq = _filter(img2 * img2, win) - mu2_sq
     sigma12 = _filter(img1 * img2, win) - mu1_mu2
     c1, c2 = 0.01**2, 0.03**2
     ssim_map = ((2 * mu1_mu2 + c1) * (2 * sigma12 + c2)) / (

@@ -145,6 +145,10 @@ def make_dp_mapper(
         wq = jax.lax.stop_gradient(params["cam_unnorm_rots"][0].T[window["time_idx"]])
         wt = jax.lax.stop_gradient(params["cam_trans"][0].T[window["time_idx"]])
 
+        from hierslam_tpu.ops.ssim import ssim_ref_stats
+
+        w_ssim = jax.vmap(ssim_ref_stats)(window["im"])
+
         # Amortized per-window-frame binning, computed replicated (identical
         # on every device; see slam.mapping.make_mapper for the margin
         # semantics).
@@ -171,6 +175,7 @@ def make_dp_mapper(
             depth_gt = window["depth"][idx]
             labels = window["labels"][idx] if "labels" in window else None
             q, t = wq[idx], wt[idx]
+            gt_ssim = jax.tree_util.tree_map(lambda x: x[idx], w_ssim)
             bc = jax.tree_util.tree_map(lambda x: x[idx], binnings)
 
             def loss_fn(gp_, mlp_):
@@ -182,7 +187,8 @@ def make_dp_mapper(
                     camera_grad=False, binning_cache=bc,
                 )
                 loss, parts = mapping_loss(
-                    out, im_gt, depth_gt, labels, mlp_, it, loss_cfg
+                    out, im_gt, depth_gt, labels, mlp_, it, loss_cfg,
+                    gt_ssim=gt_ssim,
                 )
                 parts = dict(parts)
                 parts["n_grad_dropped"] = out.n_grad_dropped.astype(jnp.float32)

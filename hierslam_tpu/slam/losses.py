@@ -185,13 +185,14 @@ def mapping_loss(
     mlp: Optional[Params],
     iter_idx,
     cfg: LossConfig,
+    gt_ssim=None,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     mask = _valid_mask(out, depth_gt, cfg, tracking=False)
     losses = {}
     cnt = jnp.maximum(jnp.sum(mask), 1)
     losses["depth"] = jnp.sum(jnp.abs(depth_gt - out.depth) * mask) / cnt
     losses["im"] = 0.8 * jnp.mean(jnp.abs(out.im - im_gt)) + 0.2 * (
-        1.0 - calc_ssim(out.im, im_gt)
+        1.0 - calc_ssim(out.im, im_gt, ref_stats=gt_ssim)
     )
     loss = cfg.w_im * losses["im"] + cfg.w_depth * losses["depth"]
 

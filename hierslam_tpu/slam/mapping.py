@@ -164,6 +164,12 @@ def make_mapper(
         wq = jax.lax.stop_gradient(wq)
         wt = jax.lax.stop_gradient(wt)
 
+        # GT-side SSIM statistics are iteration-invariant: two of the six
+        # Gaussian filters per iteration precomputed once per phase.
+        from hierslam_tpu.ops.ssim import ssim_ref_stats
+
+        w_ssim = jax.vmap(ssim_ref_stats)(window["im"])
+
         # --- per-window-frame amortized binning (per scan segment) -------
         from hierslam_tpu.core import transforms as _tf
         from hierslam_tpu.ops.rasterize import compute_binning as _cb
@@ -198,6 +204,7 @@ def make_mapper(
             depth_gt = window["depth"][k]
             labels = window["labels"][k] if "labels" in window else None
             q, t = wq[k], wt[k]
+            gt_ssim = jax.tree_util.tree_map(lambda x: x[k], w_ssim)
             bc = jax.tree_util.tree_map(lambda x: x[k], binnings)
             m2d0 = jnp.zeros((gp["means3D"].shape[0], 2), jnp.float32)
 
@@ -211,7 +218,8 @@ def make_mapper(
                     means2D_offset=m2d_ if use_classic else None,
                 )
                 loss, parts = mapping_loss(
-                    out, im_gt, depth_gt, labels, mlp_, it, loss_cfg
+                    out, im_gt, depth_gt, labels, mlp_, it, loss_cfg,
+                    gt_ssim=gt_ssim,
                 )
                 parts = dict(parts)
                 # surface gradient-routing truncation (an undersized

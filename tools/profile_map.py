@@ -58,6 +58,8 @@ rc = RasterConfig(
     max_per_tile=K, gaussian_chunk=256, tile_batch=48,
     grad_pair_budget=int(os.environ.get("PROFILE_PAIR_BUDGET", "0")),
     grad_bf16=os.environ.get("PROFILE_BF16", "0") == "1",
+    escalate_tiles=int(os.environ.get("PROFILE_ESC_TILES", "0")),
+    escalate_k=int(os.environ.get("PROFILE_ESC_K", "0")),
 )
 
 from hierslam_tpu.slam.losses import render_gaussians
