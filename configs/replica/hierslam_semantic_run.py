@@ -41,11 +41,19 @@ config = dict(
     # --- TPU-specific ---
     map_capacity=4_000_000,
     raster=dict(tile_shape=(16, 16), max_per_tile=1024, gaussian_chunk=256, tile_batch=48,
-                grad_pair_budget=3_000_000, grad_bf16=True, track_max_per_tile=512,
-                # re-blend the 256 densest tiles at 4096 slots: bounds the
-                # static-K truncation error where it concentrates (the CUDA
-                # reference renders every overlap, rasterizer_impl.cu:281-312)
-                escalate_tiles=256, escalate_k=4096),
+                grad_pair_budget=2_000_000, grad_bf16=True,
+                # Saturation-bucketed render: tiles are ranked by how many
+                # depth-ordered gaussians they provably NEED before every
+                # pixel's transmittance crosses the blend's 1e-4 cutoff
+                # (2x margin for intra-phase param drift, floor 128) and
+                # assigned to a static capacity ladder -- the static-shape
+                # analogue of the CUDA per-pixel early termination
+                # (forward.cu:358-366); the densest tiles still get 4096
+                # slots (the reference renders every overlap,
+                # rasterizer_impl.cu:281-312).
+                bucket_spec=((128, 4096), (384, 1024), (768, 512), (-1, 256)),
+                track_bucket_spec=((128, 1024), (384, 512), (-1, 128)),
+                sat_margin=2.0, sat_floor=128),
     model=dict(
         flag_use_embedding=1,
         eval_gt_transfer=False,

@@ -73,4 +73,14 @@ def raster_config(config: Dict) -> RasterConfig:
         escalate_tiles=r.get("escalate_tiles", 0),
         escalate_k=r.get("escalate_k", 0),
         densify_max_per_tile=r.get("densify_max_per_tile", 0),
+        bucket_spec=(
+            tuple(tuple(e) for e in r["bucket_spec"])
+            if r.get("bucket_spec") else None
+        ),
+        track_bucket_spec=(
+            tuple(tuple(e) for e in r["track_bucket_spec"])
+            if r.get("track_bucket_spec") else None
+        ),
+        sat_margin=r.get("sat_margin", 0.0),
+        sat_floor=r.get("sat_floor", 64),
     )

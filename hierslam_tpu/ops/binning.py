@@ -55,6 +55,32 @@ class EscalatedLists(NamedTuple):
     count: jax.Array     # [OB] int32 true overlap counts of those tiles
 
 
+class BucketedLists(NamedTuple):
+    """Depth-ordered per-tile lists in rank-assigned capacity classes.
+
+    The CUDA reference renders every overlap but terminates each PIXEL the
+    moment its transmittance drops below 1e-4 (forward.cu:358-366), so its
+    real per-tile work is saturation-bounded, not count-bounded.  The
+    static-shape TPU equivalent: tiles are ranked by how many depth-ordered
+    Gaussians they actually NEED (``k_eff`` — the true overlap count, or a
+    conservative saturation bound when ``sat_margin`` is on) and assigned
+    to a static ladder of capacity classes (``bucket_spec``); each tile is
+    rendered exactly once, at its class capacity, on a per-class virtual
+    tile grid.  Overflow past a class capacity is counted in ``n_dropped``;
+    pairs masked because transmittance provably saturates above them are
+    counted separately in ``n_sat_masked`` (they contribute nothing to the
+    forward OR the backward — ``committed`` would zero them anyway).
+    """
+
+    tile_ids: Tuple[jax.Array, ...]  # per class: [n_b] int32 tile ids
+    idx: Tuple[jax.Array, ...]       # per class: [n_b, k_b] int32, -1 pad
+    count: jax.Array                 # [T] true per-tile overlap counts
+    k_eff: jax.Array                 # [T] per-tile need used for ranking
+    n_refs: jax.Array                # [] total non-pad (tile, slot) refs
+    n_dropped: jax.Array             # [] pairs lost to budgets/class caps
+    n_sat_masked: jax.Array          # [] provably-invisible masked pairs
+
+
 def default_emission_budgets(n: int, r_cap: int) -> Tuple[int, ...]:
     """Per-cell-row emission budgets.
 
@@ -239,3 +265,284 @@ def bin_gaussians(
         n_dropped = n_dropped - recovered
 
     return TileLists(idx=lists, count=counts, n_dropped=n_dropped), esc
+
+
+SAT_SCALE = 255                  # per-quadrant alpha quantization steps
+T_DONE_LOG = -9.210340371976182  # ln(1e-4), the blend's committed cutoff
+
+
+def resolve_bucket_spec(spec, num_tiles: int):
+    """Resolve a bucket spec against a concrete tile count.
+
+    ``spec``: ((n_tiles, k), ..., (-1, k_min)) with k strictly descending,
+    every k a positive multiple of 128 and of k_min (so class lists reshape
+    into k_min-wide rows for ONE combined gather/inverse map), and exactly
+    the last entry taking the remainder (n = -1).  Returns a tuple of
+    (n, k) with n >= 0 summing to ``num_tiles`` (zero-size classes kept:
+    static shapes must not depend on the runtime tile count).
+    """
+    spec = tuple((int(n), int(k)) for n, k in spec)
+    if not spec or spec[-1][0] != -1:
+        raise ValueError("bucket_spec's last entry must be (-1, k_min)")
+    ks = [k for _, k in spec]
+    k_min = ks[-1]
+    if any(k <= 0 or k % k_min for k in ks):
+        raise ValueError(f"bucket ks must be positive multiples of the "
+                         f"last class's k ({k_min}): {ks}")
+    if any(a <= b for a, b in zip(ks, ks[1:])):
+        raise ValueError(f"bucket ks must be strictly descending: {ks}")
+    if any(n < 0 for n, _ in spec[:-1]):
+        raise ValueError("only the last bucket may have n = -1")
+    out, left = [], num_tiles
+    for n, k in spec[:-1]:
+        n = min(n, left)
+        out.append((n, k))
+        left -= n
+    out.append((left, k_min))
+    return tuple(out)
+
+
+def bin_bucketed(
+    rect_min: jax.Array,
+    rect_max: jax.Array,
+    valid: jax.Array,
+    depth: jax.Array,
+    grid: Tuple[int, int],
+    bucket_spec,
+    tile_shape: Tuple[int, int],
+    max_tiles_per_gaussian: int = 16,
+    emission_budgets: Optional[Sequence[int]] = None,
+    sat_margin: float = 0.0,
+    sat_floor: int = 64,
+    xy: Optional[jax.Array] = None,
+    conic: Optional[jax.Array] = None,
+    opacity: Optional[jax.Array] = None,
+) -> BucketedLists:
+    """Rank-bucketed per-tile lists (see :class:`BucketedLists`).
+
+    Same budgeted emission + one 3-key sort as :func:`bin_gaussians`; the
+    per-tile lists are then extracted at RANK-assigned class capacities
+    instead of one uniform K.
+
+    With ``sat_margin > 0`` (requires ``xy``/``conic``/``opacity``), each
+    emitted (gaussian, tile) pair carries QUANTIZED conservative lower
+    bounds of the gaussian's alpha over each of the tile's four 8x8
+    QUADRANTS: the blend's falloff exponent is concave in pixel position,
+    so its minimum over a quadrant rectangle sits at one of its corners —
+    evaluated on the tile's 3x3 corner grid.  (Quadrant resolution matters:
+    a whole-tile bound is ~100x too weak when gaussians are smaller than
+    the 16px tile, because no single pixel realizes every pair's worst
+    corner at once.)  The four 8-bit bounds ride the sort as one extra
+    uint32 payload operand; after the sort, four global cumsums of
+    ``log1p(-alpha_lb)`` (each monotone nonincreasing) give, per tile, the
+    first depth rank where EVERY quadrant's transmittance provably falls
+    below the blend's 1e-4 cutoff at all of its pixels
+    (forward.cu:358-366).  ``k_eff`` is then ``min(count, max(sat_floor,
+    ceil(sat_margin * k_need)))`` — the margin covers parameter drift
+    while amortized lists stay live — and pairs beyond it are masked out
+    of the lists (counted in ``n_sat_masked``).
+    """
+    grid_y, grid_x = grid
+    th, tw = tile_shape
+    n = depth.shape[0]
+    num_tiles = grid_y * grid_x
+    spec = resolve_bucket_spec(bucket_spec, num_tiles)
+    r_cap = max_tiles_per_gaussian
+    budgets = (
+        tuple(emission_budgets)
+        if emission_budgets is not None
+        else default_emission_budgets(n, r_cap)
+    )
+    assert len(budgets) >= r_cap
+    with_sat = sat_margin > 0.0
+    if with_sat and (xy is None or conic is None or opacity is None):
+        raise ValueError("sat_margin > 0 requires xy/conic/opacity")
+
+    w_rect = (rect_max[:, 0] - rect_min[:, 0]).astype(jnp.int32)
+    touched_all = jnp.where(
+        valid, w_rect * (rect_max[:, 1] - rect_min[:, 1]).astype(jnp.int32), 0
+    )
+    n_dropped_emit = jnp.sum(jnp.maximum(touched_all - r_cap, 0))
+    touched = jnp.minimum(touched_all, r_cap)
+
+    # sort by touched DESCENDING so row-r emission is a prefix property
+    # (see bin_gaussians); ONE packed int32 gather reorders everything the
+    # emission needs, saturation columns included.
+    order = jnp.argsort(-touched, stable=False).astype(jnp.int32)
+    cols = [
+        rect_min[:, 0],
+        rect_min[:, 1],
+        jnp.maximum(w_rect, 1),
+        touched,
+        jax.lax.bitcast_convert_type(depth, jnp.int32),
+    ]
+    if with_sat:
+        cols += [
+            jax.lax.bitcast_convert_type(xy[:, 0].astype(jnp.float32), jnp.int32),
+            jax.lax.bitcast_convert_type(xy[:, 1].astype(jnp.float32), jnp.int32),
+            jax.lax.bitcast_convert_type(conic[:, 0].astype(jnp.float32), jnp.int32),
+            jax.lax.bitcast_convert_type(conic[:, 1].astype(jnp.float32), jnp.int32),
+            jax.lax.bitcast_convert_type(conic[:, 2].astype(jnp.float32), jnp.int32),
+            jax.lax.bitcast_convert_type(
+                opacity.reshape(-1).astype(jnp.float32), jnp.int32
+            ),
+        ]
+    width = 16 if with_sat else 8
+    cols += [jnp.zeros_like(touched)] * (width - len(cols))
+    packed_src = jax.lax.optimization_barrier(jnp.stack(cols, -1))
+    # barriers pin the packed-int32-row gather fast path (XLA otherwise
+    # fuses the stack into the gather and falls off the packed-row class)
+    packed = jax.lax.optimization_barrier(packed_src[order])  # [N, width]
+    depth_s = jax.lax.bitcast_convert_type(packed[:, 4], jnp.float32)
+    if with_sat:
+        sxy_x = jax.lax.bitcast_convert_type(packed[:, 5], jnp.float32)
+        sxy_y = jax.lax.bitcast_convert_type(packed[:, 6], jnp.float32)
+        sc_a = jax.lax.bitcast_convert_type(packed[:, 7], jnp.float32)
+        sc_b = jax.lax.bitcast_convert_type(packed[:, 8], jnp.float32)
+        sc_c = jax.lax.bitcast_convert_type(packed[:, 9], jnp.float32)
+        sopa = jax.lax.bitcast_convert_type(packed[:, 10], jnp.float32)
+
+    cnt_gt = jnp.stack(
+        [jnp.sum((touched > r).astype(jnp.int32)) for r in range(r_cap)]
+    )
+    buds = jnp.asarray(budgets[:r_cap], jnp.int32)
+    n_dropped_budget = jnp.sum(jnp.maximum(cnt_gt - buds, 0))
+
+    tiles_parts, depth_parts, gauss_parts, alpha_parts = [], [], [], []
+    for r in range(r_cap):
+        b = budgets[r]
+        pk = packed[:b]
+        cell_x = pk[:, 0] + r % pk[:, 2]
+        cell_y = pk[:, 1] + r // pk[:, 2]
+        ok = r < pk[:, 3]
+        tiles_parts.append(
+            jnp.where(ok, cell_y * grid_x + cell_x, num_tiles).astype(jnp.int32)
+        )
+        depth_parts.append(depth_s[:b])
+        gauss_parts.append(order[:b])
+        if with_sat:
+            # per-quadrant conservative alpha lower bounds: the falloff
+            # exponent is concave in pixel position, so each quadrant's
+            # minimum sits at one of its corners — 9 evaluations on the
+            # tile's 3x3 corner grid, min-combined per quadrant.
+            # Quantized FLOOR-ward (underestimates alpha -> overestimates
+            # surviving transmittance -> never truncates a contributor).
+            x0 = (cell_x * tw).astype(jnp.float32)
+            y0 = (cell_y * th).astype(jnp.float32)
+            hw, hh = (tw - 1) * 0.5, (th - 1) * 0.5
+            pgrid = []
+            for cy in (y0, y0 + hh, y0 + (th - 1)):
+                row = []
+                for cx in (x0, x0 + hw, x0 + (tw - 1)):
+                    dx = sxy_x[:b] - cx
+                    dy = sxy_y[:b] - cy
+                    row.append(
+                        -0.5 * (sc_a[:b] * dx * dx + sc_c[:b] * dy * dy)
+                        - sc_b[:b] * dx * dy
+                    )
+                pgrid.append(row)
+            pay = jnp.zeros((b,), jnp.uint32)
+            for qi, (iy, ix) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
+                pmin = jnp.minimum(
+                    jnp.minimum(pgrid[iy][ix], pgrid[iy][ix + 1]),
+                    jnp.minimum(pgrid[iy + 1][ix], pgrid[iy + 1][ix + 1]),
+                )
+                alpha_lb = jnp.minimum(sopa[:b] * jnp.exp(pmin), 0.99)
+                # below the blend's ALPHA_MIN skip there is no guaranteed
+                # contribution at every pixel -> no transmittance credit
+                alpha_lb = jnp.where(alpha_lb >= 1.0 / 255.0, alpha_lb, 0.0)
+                aq = jnp.floor(alpha_lb / 0.99 * SAT_SCALE).astype(jnp.uint32)
+                pay = pay | (jnp.where(ok, aq, 0) << (8 * qi))
+            alpha_parts.append(pay)
+
+    flat_tile = jnp.concatenate(tiles_parts)
+    flat_depth = jnp.concatenate(depth_parts)
+    flat_gauss = jnp.concatenate(gauss_parts)
+
+    # (tile, depth, gauss) keys — ascending gaussian id resolves (tile,
+    # depth) ties exactly like the CUDA radix sort (see bin_gaussians);
+    # the quadrant alpha bounds ride along as a pure payload operand.
+    if with_sat:
+        s_tile, _, s_gauss, s_alpha = jax.lax.sort(
+            (flat_tile, flat_depth, flat_gauss, jnp.concatenate(alpha_parts)),
+            num_keys=3, is_stable=False,
+        )
+    else:
+        s_tile, _, s_gauss = jax.lax.sort(
+            (flat_tile, flat_depth, flat_gauss), num_keys=3, is_stable=False
+        )
+
+    tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
+    starts = jnp.searchsorted(s_tile, tile_ids).astype(jnp.int32)
+    ends = jnp.searchsorted(s_tile, tile_ids, side="right").astype(jnp.int32)
+    counts = ends - starts
+    m = s_gauss.shape[0]
+
+    n_sat_masked = jnp.zeros((), jnp.int32)
+    if with_sat:
+        # Per quadrant: ln T upper bound just BEFORE each sorted pair is an
+        # exclusive global cumsum of ln(1p(-alpha_lb)) — globally monotone
+        # nonincreasing (terms <= 0), so the per-tile saturation rank is
+        # ONE searchsorted against the run-start offsets (3k queries, not
+        # an M-row gather).  A tile saturates at the LAST of its quadrants.
+        k_need = jnp.zeros((num_tiles,), jnp.int32)
+        for qi in range(4):
+            alpha_deq = (
+                (s_alpha >> (8 * qi)) & SAT_SCALE
+            ).astype(jnp.float32) * (0.99 / SAT_SCALE)
+            csh = jnp.concatenate(
+                [jnp.zeros((1,), jnp.float32),
+                 jnp.cumsum(jnp.log1p(-alpha_deq))[:-1]]
+            )
+            csh_start = csh[jnp.minimum(starts, m - 1)]
+            # number of positions p >= start_t with csh[p] > csh_start +
+            # lnT: csh nonincreasing -> count = searchsorted - start
+            thresh = csh_start + T_DONE_LOG
+            hits = jnp.searchsorted(-csh, -thresh, side="right").astype(jnp.int32)
+            k_need = jnp.maximum(k_need, jnp.clip(hits - starts, 0, counts))
+        k_eff = jnp.minimum(
+            counts,
+            jnp.maximum(
+                jnp.int32(sat_floor),
+                jnp.ceil(sat_margin * k_need.astype(jnp.float32)).astype(jnp.int32),
+            ),
+        )
+        n_sat_masked = jnp.sum(counts - k_eff)
+    else:
+        k_eff = counts
+
+    # rank-assign tiles to capacity classes by need
+    rank_order = jnp.argsort(-k_eff, stable=False).astype(jnp.int32)
+    s_gauss_pad = jnp.concatenate([s_gauss, jnp.full((1,), -1, jnp.int32)])
+    ids_out, idx_out = [], []
+    n_class_dropped = jnp.zeros((), jnp.int32)
+    n_refs = jnp.zeros((), jnp.int32)
+    off = 0
+    for n_b, k_b in spec:
+        ids_b = rank_order[off:off + n_b]
+        off += n_b
+        lim_b = jnp.minimum(k_eff[ids_b], k_b)             # [n_b]
+        kk = jnp.arange(k_b, dtype=jnp.int32)
+        take = starts[ids_b][:, None] + kk[None, :]
+        ok = kk[None, :] < lim_b[:, None]
+        idx_b = jnp.where(ok, s_gauss_pad[jnp.minimum(take, m)], -1)
+        ids_out.append(ids_b)
+        idx_out.append(idx_b)
+        n_refs = n_refs + jnp.sum(lim_b)
+        # real pairs (within k_eff) lost to this class's capacity
+        n_class_dropped = n_class_dropped + jnp.sum(
+            jnp.maximum(jnp.minimum(k_eff[ids_b], counts[ids_b]) - k_b, 0)
+        )
+
+    n_dropped = n_class_dropped + n_dropped_emit + n_dropped_budget
+    return BucketedLists(
+        tile_ids=tuple(ids_out),
+        idx=tuple(idx_out),
+        count=counts,
+        k_eff=k_eff,
+        n_refs=n_refs,
+        n_dropped=n_dropped,
+        n_sat_masked=n_sat_masked,
+    )
+
+

@@ -63,17 +63,41 @@ class RasterConfig:
                                       # gaussians — a smaller K cuts the
                                       # per-iteration blend cost linearly;
                                       # drops are counted like any overflow.
-    escalate_tiles: int = 0           # OB: re-blend the OB highest-count
-                                      # tiles at escalate_k slots and replace
-                                      # their pixels — bounds the static-K
-                                      # truncation error at the few dense
-                                      # tiles where it concentrates, without
-                                      # paying a big K everywhere.  The CUDA
-                                      # reference renders every overlap
-                                      # (rasterizer_impl.cu:281-312); this is
-                                      # the static-shape equivalent.  0 = off.
+    escalate_tiles: int = 0           # legacy knob: shorthand for the
+                                      # 2-class bucket_spec
+                                      # ((escalate_tiles, escalate_k),
+                                      #  (-1, max_per_tile)) — the OB
+                                      # highest-need tiles render at
+                                      # escalate_k slots, the rest at K.
     escalate_k: int = 0               # K_big for escalated tiles (0 = 4x
                                       # max_per_tile when escalate_tiles > 0)
+    track_bucket_spec: Optional[Tuple[Tuple[int, int], ...]] = None
+                                      # capacity ladder for the tracking
+                                      # fast path (None = bucket_spec /
+                                      # track_max_per_tile translation)
+    bucket_spec: Optional[Tuple[Tuple[int, int], ...]] = None
+                                      # capacity-class ladder ((n, k), ...,
+                                      # (-1, k_min)): tiles are RANKED by
+                                      # per-tile need and assigned to
+                                      # classes, each rendered once at its
+                                      # class capacity on a virtual tile
+                                      # grid.  The CUDA reference renders
+                                      # every overlap but terminates pixels
+                                      # at T < 1e-4 (forward.cu:358-366) —
+                                      # its work is saturation-bounded;
+                                      # this is the static-shape analogue.
+                                      # None = derived from max_per_tile /
+                                      # escalate knobs.
+    sat_margin: float = 0.0           # > 0 enables the saturation bound on
+                                      # per-tile need: keep sat_margin x
+                                      # the provable all-pixels-saturated
+                                      # depth rank (conservative corner
+                                      # alpha bounds, see binning.py).  The
+                                      # margin covers param drift while
+                                      # amortized lists stay live.  0 = off
+                                      # (need = true overlap count).
+    sat_floor: int = 64               # minimum per-tile kept rank under
+                                      # saturation capping
     densify_max_per_tile: int = 0     # per-tile K for the densify
                                       # non-presence render (0 = 2x
                                       # max_per_tile, capped at 4096).  At
@@ -92,14 +116,15 @@ class RasterConfig:
 
     @property
     def esc_k(self) -> int:
-        k = self.escalate_k or 4 * self.max_per_tile
-        if self.escalate_tiles > 0 and k % self.max_per_tile != 0:
-            raise ValueError(
-                f"escalate_k ({k}) must be a multiple of max_per_tile "
-                f"({self.max_per_tile}): escalated lists are routed through "
-                "the combined inverse map as virtual K-wide tiles"
-            )
-        return k
+        return self.escalate_k or 4 * self.max_per_tile
+
+    def spec(self) -> Tuple[Tuple[int, int], ...]:
+        """The unresolved capacity-class ladder for this config."""
+        if self.bucket_spec is not None:
+            return tuple(tuple(e) for e in self.bucket_spec)
+        if self.escalate_tiles > 0:
+            return ((self.escalate_tiles, self.esc_k), (-1, self.max_per_tile))
+        return ((-1, self.max_per_tile),)
 
     def grid(self, height: int, width: int) -> Tuple[int, int]:
         th, tw = self.tile_shape
@@ -107,14 +132,13 @@ class RasterConfig:
 
 
 class Binning(NamedTuple):
-    lists: binning.TileLists
-    # ONE inverse map over base + escalated lists (escalated rows appended
-    # as virtual K-wide tiles): one gather, one gradient-routing pass, one
-    # set of rank probes — a second map's probes alone cost ~35 ms/frame
-    # at N=2M because probe count (N), not list size, dominates.
+    lists: binning.BucketedLists
+    # ONE inverse map over ALL capacity classes (each class's lists
+    # reshaped to k_min-wide virtual rows): one gather, one
+    # gradient-routing pass, one set of rank probes — a second map's
+    # probes alone cost ~35 ms/frame at N=2M because probe count (N),
+    # not list size, dominates.
     inverse: InverseMap
-    # escalated-tile data (None unless config.escalate_tiles > 0)
-    esc: Optional[binning.EscalatedLists] = None
 
 
 class RenderOutput(NamedTuple):
@@ -143,30 +167,37 @@ def _slot_ok(idx, g_rect, tx, ty):
     )
 
 
-def _replace_tiles(img, strip, big_ids, grid, tile_shape):
-    """Replace the tiles listed in ``big_ids`` of an assembled image with
-    the corresponding tiles of the escalated virtual-grid ``strip``.
+def _assemble_buckets(strips, ids_list, grid, tile_shape, H, W):
+    """Assemble a [C, H, W] image from per-class virtual-grid strips.
 
-    img: [C, H, W]; strip: [C, th, OB*tw] (escalated tile j at columns
-    [j*tw, (j+1)*tw)).  Pure gathers/where — differentiable, and exact for
-    edge tiles (the merge happens on the padded tile grid, then re-crops).
-    """
-    C, H, W = img.shape
+    strips[b]: [C, th, n_b*tw] (class b's tile j at columns [j*tw,
+    (j+1)*tw)); ids_list[b]: [n_b] true tile ids.  Every tile id appears
+    exactly once across the classes (the classes partition the rank
+    order), so the assembly is ONE permutation gather of tile blocks —
+    differentiable, exact for edge tiles (assembled on the padded tile
+    grid, then cropped)."""
     gy, gx = grid
     th, tw = tile_shape
-    ob = big_ids.shape[0]
-    hp, wp = gy * th, gx * tw
-    base = jnp.pad(img, ((0, 0), (0, hp - H), (0, wp - W)))
-    tiles = base.reshape(C, gy, th, gx, tw).transpose(1, 3, 0, 2, 4)
-    tiles = tiles.reshape(gy * gx, C, th, tw)
-    st = strip.reshape(C, th, ob, tw).transpose(2, 0, 1, 3)       # [OB,C,th,tw]
-    aug = jnp.concatenate([st, jnp.zeros((1, C, th, tw), strip.dtype)])
-    pos = jnp.full((gy * gx,), ob, jnp.int32).at[big_ids].set(
-        jnp.arange(ob, dtype=jnp.int32)
-    )
-    merged = jnp.where((pos < ob)[:, None, None, None], aug[pos], tiles)
+    pieces = []
+    for s, ids in zip(strips, ids_list):
+        nb = ids.shape[0]
+        if nb == 0:
+            continue
+        C = s.shape[0]
+        pieces.append(s.reshape(C, th, nb, tw).transpose(2, 0, 1, 3))
+    tiles_all = jnp.concatenate(pieces, axis=0)       # [T, C, th, tw]
+    pos = jnp.zeros((gy * gx,), jnp.int32)
+    off = 0
+    for ids in ids_list:
+        nb = ids.shape[0]
+        if nb == 0:
+            continue
+        pos = pos.at[ids].set(off + jnp.arange(nb, dtype=jnp.int32))
+        off += nb
+    merged = tiles_all[pos]                            # [T, C, th, tw]
+    C = merged.shape[1]
     out = merged.reshape(gy, gx, C, th, tw).transpose(2, 0, 3, 1, 4)
-    return out.reshape(C, hp, wp)[:, :H, :W]
+    return out.reshape(C, gy * th, gx * tw)[:, :H, :W]
 
 
 def _normalize_inputs(opacities, scales):
@@ -175,6 +206,21 @@ def _normalize_inputs(opacities, scales):
     if scales.ndim == 2 and scales.shape[1] == 1:
         scales = jnp.tile(scales, (1, 3))
     return opacities, scales
+
+
+def _bin_from_prep(prep, grid, config: RasterConfig, opacities=None):
+    sat = config.sat_margin > 0.0 and opacities is not None
+    return binning.bin_bucketed(
+        prep.rect_min, prep.rect_max, prep.valid,
+        jax.lax.stop_gradient(prep.depth), grid, config.spec(),
+        config.tile_shape,
+        max_tiles_per_gaussian=config.max_tiles_per_gaussian,
+        sat_margin=config.sat_margin if sat else 0.0,
+        sat_floor=config.sat_floor,
+        xy=jax.lax.stop_gradient(prep.xy) if sat else None,
+        conic=jax.lax.stop_gradient(prep.conic) if sat else None,
+        opacity=jax.lax.stop_gradient(opacities) if sat else None,
+    )
 
 
 def compute_binning(
@@ -186,11 +232,14 @@ def compute_binning(
     active: Optional[jax.Array] = None,
     margin_px: float = 0.0,
     pixel_offset_y=0.0,
+    opacities: Optional[jax.Array] = None,
 ) -> Binning:
     """Tile lists + inverse gradient map for the given (camera-frame) means.
 
     ``margin_px`` inflates the screen rects so the lists stay valid while
     the pose/params drift during an optimization window (amortized binning).
+    ``opacities`` (post-sigmoid, [N] or [N, 1]) enables the saturation
+    bound when ``config.sat_margin > 0``.
     """
     _, scales = _normalize_inputs(jnp.zeros(means3D.shape[0]), scales)
     prep = projection.preprocess(
@@ -201,26 +250,21 @@ def compute_binning(
         pixel_offset_y=pixel_offset_y, radius_margin_px=margin_px,
     )
     grid = config.grid(camera.height, camera.width)
-    lists, esc = binning.bin_gaussians(
-        prep.rect_min, prep.rect_max, prep.valid,
-        jax.lax.stop_gradient(prep.depth), grid, config.max_per_tile,
-        chunk=config.bin_chunk,
-        max_tiles_per_gaussian=config.max_tiles_per_gaussian,
-        n_escalate=config.escalate_tiles, escalate_k=config.esc_k,
-    )
+    lists = _bin_from_prep(prep, grid, config, opacities)
     inverse = build_inverse_map(
-        _combined_idx(lists, esc, config.max_per_tile),
-        means3D.shape[0], config.max_tiles_per_gaussian,
+        _combined_idx(lists), means3D.shape[0], config.max_tiles_per_gaussian
     )
-    return Binning(lists=lists, inverse=inverse, esc=esc)
+    return Binning(lists=lists, inverse=inverse)
 
 
-def _combined_idx(lists, esc, k):
-    """Base [T, K] lists + escalated lists appended as virtual K-wide
-    tiles — one index array for one gather + one inverse map."""
-    if esc is None:
-        return lists.idx
-    return jnp.concatenate([lists.idx, esc.idx.reshape(-1, k)], axis=0)
+def _combined_idx(lists: binning.BucketedLists):
+    """All capacity classes' lists reshaped to k_min-wide virtual rows —
+    one index array for one gather + one inverse map.  k_min is the LAST
+    class's capacity (every class k is a multiple of it by construction)."""
+    k_min = lists.idx[-1].shape[1]
+    return jnp.concatenate(
+        [x.reshape(-1, k_min) for x in lists.idx if x.shape[0] > 0], axis=0
+    )
 
 
 def rasterize(
@@ -262,20 +306,14 @@ def rasterize(
     )
 
     if binning_cache is None:
-        lists, esc = binning.bin_gaussians(
-            prep.rect_min, prep.rect_max, prep.valid,
-            jax.lax.stop_gradient(prep.depth), grid, config.max_per_tile,
-            chunk=config.bin_chunk,
-            max_tiles_per_gaussian=config.max_tiles_per_gaussian,
-            n_escalate=config.escalate_tiles, escalate_k=config.esc_k,
+        lists = _bin_from_prep(
+            prep, grid, config, jax.lax.stop_gradient(opacities)
         )
         inverse = build_inverse_map(
-            _combined_idx(lists, esc, config.max_per_tile),
-            means3D.shape[0], config.max_tiles_per_gaussian,
+            _combined_idx(lists), means3D.shape[0], config.max_tiles_per_gaussian
         )
     else:
         lists, inverse = binning_cache.lists, binning_cache.inverse
-        esc = binning_cache.esc
 
     # One fused gather of all per-gaussian blend quantities (custom VJP —
     # backward routes cotangents through the inverse map, never a scatter).
@@ -306,59 +344,37 @@ def rasterize(
         axis=1,
     )
     g_comb = gather_rows(
-        table, _combined_idx(lists, esc, config.max_per_tile),
+        table, _combined_idx(lists),
         inverse.spos, inverse.skey, inverse.starts,
         inverse.n_ref, inverse.run_masks, config.max_tiles_per_gaussian,
         c_main, config.grad_pair_budget, config.grad_bf16,
     )
-    n_tiles = lists.idx.shape[0]
-    g_all = g_comb[:n_tiles]
-    g = g_all[..., :c_main]
-    g_rect = jax.lax.stop_gradient(g_all[..., c_main:])
-    t_ids = jnp.arange(lists.idx.shape[0], dtype=jnp.int32)
+    k_min = lists.idx[-1].shape[1]
     grid_y, grid_x = grid
-    tx = (t_ids % grid_x).astype(jnp.float32)[:, None]
-    ty = (t_ids // grid_x).astype(jnp.float32)[:, None]
-    slot_ok = _slot_ok(lists.idx, g_rect, tx, ty)
+    th_, tw_ = config.tile_shape
+    interp = config.pallas_interpret or jax.default_backend() == "cpu"
 
-    if config.backend == "pallas":
-        from hierslam_tpu.ops.render_pallas import render_tiles_pallas
-
-        # interpret-mode automatically on CPU (tests / virtual meshes)
-        interp = config.pallas_interpret or jax.default_backend() == "cpu"
-        acc, final_T, med = render_tiles_pallas(
-            g, slot_ok, image_shape=(H, W), tile_shape=config.tile_shape,
-            grid=grid, interpret=interp, chunk=config.gaussian_chunk,
-            counts=lists.count,
-        )
-    else:
-        g_xy, g_conic = g[..., 0:2], g[..., 2:5]
-        g_opa = jnp.where(slot_ok, g[..., 5], 0.0)
-        g_depth = g[..., 6]
-        g_feat = g[..., 7:]
-        acc, final_T, med = render_xla.blend_tiles(
-            g_xy, g_conic, g_opa, g_depth, g_feat, slot_ok,
-            image_shape=(H, W), tile_shape=config.tile_shape, grid=grid,
-            chunk=config.gaussian_chunk, tile_batch=config.tile_batch,
-        )
-
-    if esc is not None:
-        # Second blend of the OB heaviest tiles at K_big slots on a virtual
-        # (1, OB) tile grid: each escalated tile's screen coordinates are
-        # translated so tile j lands at columns [j*tw, (j+1)*tw) — the blend
-        # math only sees (xy - pixel), so the translated render is exactly
-        # the tile's render at the bigger cap.  Gradients route through a
-        # second inverse map; the base blend's output for those tiles is
-        # discarded by the merge, so nothing double-counts.
-        th_, tw_ = config.tile_shape
-        ob = esc.tile_ids.shape[0]
-        gb_all = g_comb[n_tiles:].reshape(ob, config.esc_k, -1)
+    # Every capacity class renders once, on its own (1, n_b) virtual tile
+    # grid: each tile's screen coordinates are translated so class tile j
+    # lands at columns [j*tw, (j+1)*tw) — the blend math only sees
+    # (xy - pixel), so the translated render is exactly the tile's render
+    # at the class capacity.  The strips then assemble by one permutation
+    # gather of tile blocks.
+    strips_acc, strips_ftmed, ids_list = [], [], []
+    row_off = 0
+    for ids_b, idx_b in zip(lists.tile_ids, lists.idx):
+        nb, kb = idx_b.shape
+        rows = nb * kb // k_min
+        if nb == 0:
+            continue
+        gb_all = g_comb[row_off:row_off + rows].reshape(nb, kb, -1)
+        row_off += rows
         gb = gb_all[..., :c_main]
         gb_rect = jax.lax.stop_gradient(gb_all[..., c_main:])
-        btx = (esc.tile_ids % grid_x).astype(jnp.float32)[:, None]
-        bty = (esc.tile_ids // grid_x).astype(jnp.float32)[:, None]
-        slot_ok_b = _slot_ok(esc.idx, gb_rect, btx, bty)
-        j = jnp.arange(ob, dtype=jnp.float32)[:, None]
+        btx = (ids_b % grid_x).astype(jnp.float32)[:, None]
+        bty = (ids_b // grid_x).astype(jnp.float32)[:, None]
+        slot_ok_b = _slot_ok(idx_b, gb_rect, btx, bty)
+        j = jnp.arange(nb, dtype=jnp.float32)[:, None]
         shift_x = (j - btx) * tw_
         shift_y = -bty * th_
         gb = gb.at[..., 0].add(shift_x).at[..., 1].add(shift_y)
@@ -366,27 +382,29 @@ def rasterize(
             from hierslam_tpu.ops.render_pallas import render_tiles_pallas
 
             acc_b, ft_b, med_b = render_tiles_pallas(
-                gb, slot_ok_b, image_shape=(th_, ob * tw_),
-                tile_shape=config.tile_shape, grid=(1, ob),
-                interpret=config.pallas_interpret or jax.default_backend() == "cpu",
-                chunk=config.gaussian_chunk, counts=esc.count,
+                gb, slot_ok_b, image_shape=(th_, nb * tw_),
+                tile_shape=config.tile_shape, grid=(1, nb),
+                interpret=interp, chunk=config.gaussian_chunk,
+                counts=lists.count[ids_b],
             )
         else:
             acc_b, ft_b, med_b = render_xla.blend_tiles(
                 gb[..., 0:2], gb[..., 2:5],
                 jnp.where(slot_ok_b, gb[..., 5], 0.0), gb[..., 6],
                 gb[..., 7:], slot_ok_b,
-                image_shape=(th_, ob * tw_), tile_shape=config.tile_shape,
-                grid=(1, ob), chunk=config.gaussian_chunk,
+                image_shape=(th_, nb * tw_), tile_shape=config.tile_shape,
+                grid=(1, nb), chunk=config.gaussian_chunk,
                 tile_batch=config.tile_batch,
             )
-        acc = _replace_tiles(acc, acc_b, esc.tile_ids, grid, config.tile_shape)
-        ftmed = _replace_tiles(
-            jnp.stack([final_T, med]),
-            jnp.stack([ft_b, med_b]),
-            esc.tile_ids, grid, config.tile_shape,
-        )
-        final_T, med = ftmed[0], ftmed[1]
+        strips_acc.append(acc_b)
+        strips_ftmed.append(jnp.stack([ft_b, med_b]))
+        ids_list.append(ids_b)
+
+    acc = _assemble_buckets(strips_acc, ids_list, grid, config.tile_shape, H, W)
+    ftmed = _assemble_buckets(
+        strips_ftmed, ids_list, grid, config.tile_shape, H, W
+    )
+    final_T, med = ftmed[0], ftmed[1]
 
     im = acc[:3]
     sem = acc[3 : 3 + semantics.shape[1]] if semantics is not None else None
@@ -404,19 +422,10 @@ def rasterize(
         n_dropped=lists.n_dropped,
         tile_count=lists.count,
         # the segmented-scan backward is exact unless a grad_pair_budget
-        # truncates routing below the true valid-reference count (combined
-        # base + escalated populations — they share one inverse map)
+        # truncates routing below the true valid-reference count (all
+        # capacity classes share one inverse map)
         n_grad_dropped=(
-            jnp.maximum(
-                jnp.sum(jnp.minimum(lists.count, config.max_per_tile))
-                + (
-                    jnp.sum(jnp.minimum(esc.count, config.esc_k))
-                    if esc is not None
-                    else 0
-                )
-                - config.grad_pair_budget,
-                0,
-            )
+            jnp.maximum(lists.n_refs - config.grad_pair_budget, 0)
             if config.grad_pair_budget
             else jnp.zeros((), jnp.int32)
         ),

@@ -31,12 +31,15 @@ from hierslam_tpu.ops.rasterize import RasterConfig, compute_binning
 
 
 class TrackCache(NamedTuple):
-    means_world: jax.Array   # [T, K, 3]
-    colors: jax.Array        # [T, K, 3]
-    opacity: jax.Array       # [T, K] post-sigmoid
-    scale: jax.Array         # [T, K] isotropic post-exp
-    slot_valid: jax.Array    # [T, K]
-    count: jax.Array         # [T] true overlap counts (blend early-exit bound)
+    # per capacity class (see ops.binning.BucketedLists): class b's tiles
+    # render once at k_b slots on a (1, n_b) virtual grid
+    tile_ids: Tuple[jax.Array, ...]   # [n_b] true tile ids
+    means_world: Tuple[jax.Array, ...]   # [n_b, k_b, 3]
+    colors: Tuple[jax.Array, ...]        # [n_b, k_b, 3]
+    opacity: Tuple[jax.Array, ...]       # [n_b, k_b] post-sigmoid
+    scale: Tuple[jax.Array, ...]         # [n_b, k_b] isotropic post-exp
+    slot_valid: Tuple[jax.Array, ...]    # [n_b, k_b]
+    count: jax.Array         # [T] true overlap counts
     radii0: jax.Array        # [N] radii at the cache pose (bookkeeping)
     n_dropped: jax.Array
 
@@ -51,25 +54,33 @@ def build_track_cache(
         gaussians_grad=False, camera_grad=False, transform_rots=False,
     )
     scales = jnp.exp(params["log_scales"])
+    opac = jax.nn.sigmoid(params["logit_opacities"])
     b = compute_binning(
         means_cam0, scales, params["unnorm_rotations"], camera, config,
-        active=active, margin_px=margin_px,
+        active=active, margin_px=margin_px, opacities=opac,
     )
-    idx = b.lists.idx
-    safe = jnp.maximum(idx, 0)
-    valid = idx >= 0
-    if active is not None:
-        valid = valid & active[safe]
     table = jnp.concatenate(
         [
             params["means3D"],
             params["rgb_colors"],
-            jax.nn.sigmoid(params["logit_opacities"]),
+            opac,
             scales[:, :1],
         ],
         axis=1,
     )
-    g = jax.lax.stop_gradient(table)[safe]  # plain gather; cache is not differentiated
+    table = jax.lax.stop_gradient(table)  # cache is not differentiated
+    mw, cols, opas, scs, valids = [], [], [], [], []
+    for idx in b.lists.idx:
+        safe = jnp.maximum(idx, 0)
+        valid = idx >= 0
+        if active is not None:
+            valid = valid & active[safe]
+        g = table[safe]
+        mw.append(g[..., 0:3])
+        cols.append(g[..., 3:6])
+        opas.append(jnp.where(valid, g[..., 6], 0.0))
+        scs.append(g[..., 7])
+        valids.append(valid)
     # radii at cache pose for the reference's max_2D_radius bookkeeping
     from hierslam_tpu.ops import projection
 
@@ -78,11 +89,12 @@ def build_track_cache(
         camera, config.tile_shape, active=active,
     )
     return TrackCache(
-        means_world=g[..., 0:3],
-        colors=g[..., 3:6],
-        opacity=jnp.where(valid, g[..., 6], 0.0),
-        scale=g[..., 7],
-        slot_valid=valid,
+        tile_ids=tuple(b.lists.tile_ids),
+        means_world=tuple(mw),
+        colors=tuple(cols),
+        opacity=tuple(opas),
+        scale=tuple(scs),
+        slot_valid=tuple(valids),
         count=b.lists.count,
         radii0=prep0.radius,
         n_dropped=b.lists.n_dropped,
@@ -93,88 +105,114 @@ def render_tracked(
     cache: TrackCache, q: jax.Array, t: jax.Array, camera, config: RasterConfig
 ):
     """Render at pose (q, t) from the cache.  Returns
-    (im [3,H,W], depth, median_depth, final_opacity, mask)."""
+    (im [3,H,W], depth, median_depth, final_opacity, mask).
+
+    Each capacity class renders on its own (1, n_b) virtual tile grid and
+    the strips assemble by one permutation gather (see ops.rasterize)."""
+    from hierslam_tpu.ops.rasterize import _assemble_buckets
+
     H, W = camera.height, camera.width
     th, tw = config.tile_shape
     grid = config.grid(H, W)
     grid_y, grid_x = grid
-
     w2c = transforms.build_w2c(transforms.normalize(q), t)
-    # f32-exact matmuls (HIGHEST): TPU's default single-pass-bf16 MXU
-    # lowering would quantize camera-frame positions at ~4e-3 relative —
-    # whole pixels of screen-space error at this resolution.
-    m = (
-        jnp.dot(cache.means_world, w2c[:3, :3].T,
-                precision=jax.lax.Precision.HIGHEST)
-        + w2c[:3, 3]
-    )  # [T, K, 3] camera frame
-    z = m[..., 2]
-    in_front = z > 0.2  # auxiliary.h:139-162
-
     full = jnp.asarray(camera.full_proj)
-    p_hom = jnp.dot(m, full[:, :3].T, precision=jax.lax.Precision.HIGHEST) + full[:, 3]
-    p_w = 1.0 / (p_hom[..., 3] + 1e-7)
-    xy = jnp.stack(
-        [
-            ((p_hom[..., 0] * p_w + 1.0) * W - 1.0) * 0.5,
-            ((p_hom[..., 1] * p_w + 1.0) * H - 1.0) * 0.5,
-        ],
-        -1,
-    )
-
-    # isotropic EWA: cov2d = s^2 J J^T + 0.3 I (forward.cu:74-113)
-    safe_z = jnp.where(z == 0, 1.0, z)
-    inv_z = 1.0 / safe_z
-    limx, limy = 1.3 * camera.tan_fovx, 1.3 * camera.tan_fovy
-    txc = jnp.clip(m[..., 0] * inv_z, -limx, limx)
-    tyc = jnp.clip(m[..., 1] * inv_z, -limy, limy)
     fx, fy = camera.focal_x, camera.focal_y
-    jxx = fx * inv_z
-    jyy = fy * inv_z
-    jxz = -fx * txc * inv_z
-    jyz = -fy * tyc * inv_z
-    s2 = cache.scale * cache.scale
-    c_xx = s2 * (jxx * jxx + jxz * jxz) + 0.3
-    c_xy = s2 * (jxz * jyz)
-    c_yy = s2 * (jyy * jyy + jyz * jyz) + 0.3
-    det = c_xx * c_yy - c_xy * c_xy
-    det_ok = det != 0.0
-    det_inv = 1.0 / jnp.where(det_ok, det, 1.0)
-    conic = jnp.stack([c_yy * det_inv, -c_xy * det_inv, c_xx * det_inv], -1)
+    limx, limy = 1.3 * camera.tan_fovx, 1.3 * camera.tan_fovy
+    interp = config.pallas_interpret or jax.default_backend() == "cpu"
 
-    # exact current-pose rect culling (getRect, auxiliary.h:46-56)
-    mid = 0.5 * (c_xx + c_yy)
-    sq = jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
-    radius = jax.lax.stop_gradient(jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(mid + sq, mid - sq))))
-    xy_ng = jax.lax.stop_gradient(xy)
-    t_ids = jnp.arange(grid_y * grid_x, dtype=jnp.int32)
-    tx = (t_ids % grid_x)[:, None].astype(jnp.float32)
-    ty = (t_ids // grid_x)[:, None].astype(jnp.float32)
-    rminx = jnp.floor((xy_ng[..., 0] - radius) / tw)
-    rminy = jnp.floor((xy_ng[..., 1] - radius) / th)
-    rmaxx = jnp.floor((xy_ng[..., 0] + radius + tw - 1) / tw)
-    rmaxy = jnp.floor((xy_ng[..., 1] + radius + th - 1) / th)
-    rect_ok = (tx >= rminx) & (tx < rmaxx) & (ty >= rminy) & (ty < rmaxy)
+    strips_acc, strips_ftmed, ids_list = [], [], []
+    for bi, ids_b in enumerate(cache.tile_ids):
+        nb = ids_b.shape[0]
+        if nb == 0:
+            continue
+        # f32-exact matmuls (HIGHEST): TPU's default single-pass-bf16 MXU
+        # lowering would quantize camera-frame positions at ~4e-3 relative —
+        # whole pixels of screen-space error at this resolution.
+        m = (
+            jnp.dot(cache.means_world[bi], w2c[:3, :3].T,
+                    precision=jax.lax.Precision.HIGHEST)
+            + w2c[:3, 3]
+        )  # [n_b, K, 3] camera frame
+        z = m[..., 2]
+        in_front = z > 0.2  # auxiliary.h:139-162
 
-    valid = cache.slot_valid & in_front & det_ok & rect_ok
-    opa = jnp.where(valid, cache.opacity, 0.0)
-
-    if config.backend == "pallas":
-        from hierslam_tpu.ops.render_pallas import render_tiles_pallas
-
-        table = jnp.concatenate(
-            [xy, conic, opa[..., None], z[..., None], cache.colors], axis=-1
+        p_hom = jnp.dot(m, full[:, :3].T,
+                        precision=jax.lax.Precision.HIGHEST) + full[:, 3]
+        p_w = 1.0 / (p_hom[..., 3] + 1e-7)
+        xy = jnp.stack(
+            [
+                ((p_hom[..., 0] * p_w + 1.0) * W - 1.0) * 0.5,
+                ((p_hom[..., 1] * p_w + 1.0) * H - 1.0) * 0.5,
+            ],
+            -1,
         )
-        interp = config.pallas_interpret or jax.default_backend() == "cpu"
-        acc, final_T, med = render_tiles_pallas(
-            table, valid, image_shape=(H, W), tile_shape=config.tile_shape,
-            grid=grid, interpret=interp, chunk=config.gaussian_chunk,
-            counts=cache.count,
+
+        # isotropic EWA: cov2d = s^2 J J^T + 0.3 I (forward.cu:74-113)
+        safe_z = jnp.where(z == 0, 1.0, z)
+        inv_z = 1.0 / safe_z
+        txc = jnp.clip(m[..., 0] * inv_z, -limx, limx)
+        tyc = jnp.clip(m[..., 1] * inv_z, -limy, limy)
+        jxx = fx * inv_z
+        jyy = fy * inv_z
+        jxz = -fx * txc * inv_z
+        jyz = -fy * tyc * inv_z
+        s2 = cache.scale[bi] * cache.scale[bi]
+        c_xx = s2 * (jxx * jxx + jxz * jxz) + 0.3
+        c_xy = s2 * (jxz * jyz)
+        c_yy = s2 * (jyy * jyy + jyz * jyz) + 0.3
+        det = c_xx * c_yy - c_xy * c_xy
+        det_ok = det != 0.0
+        det_inv = 1.0 / jnp.where(det_ok, det, 1.0)
+        conic = jnp.stack([c_yy * det_inv, -c_xy * det_inv, c_xx * det_inv], -1)
+
+        # exact current-pose rect culling (getRect, auxiliary.h:46-56)
+        mid = 0.5 * (c_xx + c_yy)
+        sq = jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
+        radius = jax.lax.stop_gradient(
+            jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(mid + sq, mid - sq)))
         )
-    else:
-        acc, final_T, med = render_xla.blend_tiles(
-            xy, conic, opa, z, cache.colors, valid,
-            image_shape=(H, W), tile_shape=config.tile_shape, grid=grid,
-            chunk=config.gaussian_chunk, tile_batch=config.tile_batch,
-        )
-    return acc[:3], acc[-2], med, 1.0 - final_T, acc[-1]
+        xy_ng = jax.lax.stop_gradient(xy)
+        btx = (ids_b % grid_x)[:, None].astype(jnp.float32)
+        bty = (ids_b // grid_x)[:, None].astype(jnp.float32)
+        rminx = jnp.floor((xy_ng[..., 0] - radius) / tw)
+        rminy = jnp.floor((xy_ng[..., 1] - radius) / th)
+        rmaxx = jnp.floor((xy_ng[..., 0] + radius + tw - 1) / tw)
+        rmaxy = jnp.floor((xy_ng[..., 1] + radius + th - 1) / th)
+        rect_ok = (btx >= rminx) & (btx < rmaxx) & (bty >= rminy) & (bty < rmaxy)
+
+        valid = cache.slot_valid[bi] & in_front & det_ok & rect_ok
+        opa = jnp.where(valid, cache.opacity[bi], 0.0)
+
+        # translate to the class's virtual grid: tile j at columns j*tw
+        j = jnp.arange(nb, dtype=jnp.float32)[:, None]
+        xy = xy.at[..., 0].add((j - btx) * tw).at[..., 1].add(-bty * th)
+
+        if config.backend == "pallas":
+            from hierslam_tpu.ops.render_pallas import render_tiles_pallas
+
+            table = jnp.concatenate(
+                [xy, conic, opa[..., None], z[..., None], cache.colors[bi]],
+                axis=-1,
+            )
+            acc_b, ft_b, med_b = render_tiles_pallas(
+                table, valid, image_shape=(th, nb * tw),
+                tile_shape=config.tile_shape, grid=(1, nb), interpret=interp,
+                chunk=config.gaussian_chunk, counts=cache.count[ids_b],
+            )
+        else:
+            acc_b, ft_b, med_b = render_xla.blend_tiles(
+                xy, conic, opa, z, cache.colors[bi], valid,
+                image_shape=(th, nb * tw), tile_shape=config.tile_shape,
+                grid=(1, nb), chunk=config.gaussian_chunk,
+                tile_batch=config.tile_batch,
+            )
+        strips_acc.append(acc_b)
+        strips_ftmed.append(jnp.stack([ft_b, med_b]))
+        ids_list.append(ids_b)
+
+    acc = _assemble_buckets(strips_acc, ids_list, grid, config.tile_shape, H, W)
+    ftmed = _assemble_buckets(
+        strips_ftmed, ids_list, grid, config.tile_shape, H, W
+    )
+    return acc[:3], acc[-2], ftmed[1], 1.0 - ftmed[0], acc[-1]

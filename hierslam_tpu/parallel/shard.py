@@ -154,6 +154,7 @@ def make_dp_mapper(
         # semantics).
         sg = jax.lax.stop_gradient(gp)
         scales0 = jnp.exp(sg["log_scales"])
+        opac0 = jax.nn.sigmoid(sg["logit_opacities"])
 
         def bin_one(qt):
             q, t_ = qt
@@ -164,7 +165,7 @@ def make_dp_mapper(
             return _cb(
                 means_cam, scales0, sg["unnorm_rotations"], camera,
                 raster_cfg, active=variables["active"],
-                margin_px=bin_margin_px,
+                margin_px=bin_margin_px, opacities=opac0,
             )
 
         binnings = jax.lax.map(bin_one, (wq, wt), batch_size=4)

@@ -63,7 +63,12 @@ def make_densifier(camera, raster_cfg: RasterConfig, sil_thres: float, num_seman
     k_dens = raster_cfg.densify_max_per_tile or min(
         2 * raster_cfg.max_per_tile, 4096
     )
-    dens_cfg = _dc_replace(raster_cfg, max_per_tile=k_dens)
+    # one uniform class at the generous densify K (rank bucketing would
+    # only re-shuffle a forward-only render that runs once per phase)
+    dens_cfg = _dc_replace(
+        raster_cfg, max_per_tile=k_dens, bucket_spec=((-1, k_dens),),
+        escalate_tiles=0,
+    )
 
     @jax.jit
     def densify(params: Params, variables: Dict, im_gt, depth_gt, time_idx, key):
@@ -177,6 +182,7 @@ def make_mapper(
         def bin_window(gp_now, variables_now):
             sg = jax.lax.stop_gradient(gp_now)
             scales0 = jnp.exp(sg["log_scales"])
+            opac0 = jax.nn.sigmoid(sg["logit_opacities"])
 
             def bin_one(qt):
                 q, t_ = qt
@@ -187,7 +193,7 @@ def make_mapper(
                 return _cb(
                     means_cam, scales0, sg["unnorm_rotations"], camera,
                     raster_cfg, active=variables_now["active"],
-                    margin_px=bin_margin_px,
+                    margin_px=bin_margin_px, opacities=opac0,
                 )
 
             # Binning over the window in batches of 4 frames: full vmap

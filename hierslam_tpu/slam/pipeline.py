@@ -129,6 +129,21 @@ class SLAMRunner:
 
         # ---- jitted step functions --------------------------------------
         rc = raster_config(config)
+        # Opacity resets invalidate the saturation bound mid-phase (every
+        # per-pair alpha collapses to 0.01 while the amortized lists keep
+        # the pre-reset truncation): disable saturation capping then.
+        if rc.sat_margin > 0 and config.get("mapping", {}).get(
+            "pruning_dict", {}
+        ).get("reset_opacities", False):
+            import warnings
+
+            warnings.warn(
+                "reset_opacities invalidates amortized saturation capping; "
+                "disabling raster.sat_margin for this run"
+            )
+            from dataclasses import replace as _dcr
+
+            rc = _dcr(rc, sat_margin=0.0)
         self.rc = rc
         tcfg = config["tracking"]
         self.tracking_cfg = tcfg

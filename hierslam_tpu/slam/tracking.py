@@ -112,9 +112,16 @@ def make_tracker(
     from hierslam_tpu.ops.rasterize import RenderOutput
     from hierslam_tpu.ops.render_tracked import build_track_cache, render_tracked
 
-    if raster_cfg.track_max_per_tile:
+    if raster_cfg.track_bucket_spec is not None:
         raster_cfg = _dc_replace(
-            raster_cfg, max_per_tile=raster_cfg.track_max_per_tile
+            raster_cfg, bucket_spec=raster_cfg.track_bucket_spec
+        )
+    elif raster_cfg.track_max_per_tile:
+        raster_cfg = _dc_replace(
+            raster_cfg, max_per_tile=raster_cfg.track_max_per_tile,
+            bucket_spec=None if raster_cfg.bucket_spec is None else (
+                (-1, raster_cfg.track_max_per_tile),
+            ),
         )
 
     @jax.jit

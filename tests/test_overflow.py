@@ -132,7 +132,8 @@ def test_escalation_with_amortized_binning():
     bc = compute_binning(
         s["means3D"], jnp.tile(s["scales"], (1, 3)), s["rotations"], camera, rc
     )
-    assert bc.esc is not None
+    # legacy escalate knobs translate to a 2-class capacity ladder
+    assert len(bc.lists.idx) == 2 and bc.lists.idx[0].shape[1] == 1024
     cached = rasterize(
         s["means3D"], s["colors"], s["opacities"], s["scales"],
         s["rotations"], camera, config=rc, binning_cache=bc,
@@ -143,4 +144,104 @@ def test_escalation_with_amortized_binning():
     )
     np.testing.assert_allclose(
         np.asarray(cached.im), np.asarray(fresh.im), atol=1e-5
+    )
+
+
+def _big_splat_scene(n=1500, seed=0):
+    """Dense near-opaque BIG splats (sigma >= the 8px quadrant size): the
+    conservative quadrant alpha bounds only bind when gaussians cover
+    whole quadrants — the regime where saturation capping pays off
+    (close-up surfaces, post-densification foreground splats)."""
+    rng = np.random.default_rng(seed)
+    means = np.stack(
+        [rng.uniform(-0.6, 0.6, n), rng.uniform(-0.45, 0.45, n),
+         rng.uniform(1.0, 3.0, n)], -1,
+    ).astype(np.float32)
+    return dict(
+        means3D=jnp.asarray(means),
+        colors=jnp.asarray(rng.uniform(0, 1, (n, 3)).astype(np.float32)),
+        opacities=jnp.asarray(
+            1 / (1 + np.exp(-rng.normal(3.5, 0.5, n))).astype(np.float32)
+        ),
+        scales=jnp.asarray(rng.uniform(0.5, 1.0, (n, 1)).astype(np.float32)),
+        rotations=jnp.asarray(np.tile([1.0, 0, 0, 0], (n, 1)).astype(np.float32)),
+    )
+
+
+def test_saturation_masking_is_invisible():
+    """sat_margin masks only pairs whose transmittance PROVABLY saturates
+    above them (conservative quadrant alpha bounds, binning.py): at the
+    binning parameters the saturated render must match the full render to
+    fp noise — those pairs fail the blend's own committed test
+    (forward.cu:358-366) and contribute nothing forward or backward."""
+    import jax
+
+    from hierslam_tpu.ops.rasterize import compute_binning
+
+    camera = setup_camera(64, 48, intrinsics_matrix(40, 40, 32, 24), np.eye(4))
+    s = _big_splat_scene()
+
+    def render_and_grads(rc):
+        def f(means, colors, opa):
+            out = rasterize(
+                means, colors, opa, s["scales"], s["rotations"], camera,
+                config=rc,
+            )
+            return (
+                jnp.sum(out.im**2) + jnp.sum(out.depth**2),
+                (out.im, out.depth, out.final_opacity, out.median_depth,
+                 out.n_dropped),
+            )
+
+        grads, aux = jax.grad(f, argnums=(0, 1, 2), has_aux=True)(
+            s["means3D"], s["colors"], s["opacities"]
+        )
+        return aux, grads
+
+    rc_full = RasterConfig(max_per_tile=4096, gaussian_chunk=32, tile_batch=4,
+                           max_tiles_per_gaussian=16)
+    rc_sat = RasterConfig(max_per_tile=4096, gaussian_chunk=32, tile_batch=4,
+                          max_tiles_per_gaussian=16,
+                          sat_margin=2.0, sat_floor=8)
+    (im_f, d_f, fo_f, md_f, drop_f), g_f = render_and_grads(rc_full)
+    (im_s, d_s, fo_s, md_s, drop_s), g_s = render_and_grads(rc_sat)
+
+    # the dense scene must actually trigger saturation masking
+    bc = compute_binning(
+        s["means3D"], jnp.tile(s["scales"], (1, 3)), s["rotations"], camera,
+        rc_sat, opacities=s["opacities"],
+    )
+    assert int(bc.lists.n_sat_masked) > 0, "scene must saturate"
+    assert int(np.asarray(bc.lists.k_eff).max()) < int(
+        np.asarray(bc.lists.count).max()
+    )
+
+    np.testing.assert_allclose(np.asarray(im_s), np.asarray(im_f), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(d_s), np.asarray(d_f), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(md_s), np.asarray(md_f), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(fo_s), np.asarray(fo_f), atol=1e-5)
+    for a, b in zip(g_s, g_f):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-3, rtol=1e-3
+        )
+
+
+def test_saturation_respects_floor_and_margin():
+    """k_eff >= sat_floor everywhere and k_eff == count where nothing
+    saturates (transparent scenes are never truncated)."""
+    from hierslam_tpu.ops.rasterize import compute_binning
+
+    camera = setup_camera(64, 48, intrinsics_matrix(40, 40, 32, 24), np.eye(4))
+    s = _dense_scene()
+    # near-transparent: no pair can be provably invisible
+    faint = jnp.full_like(s["opacities"], 0.02)
+    rc = RasterConfig(max_per_tile=4096, gaussian_chunk=32, tile_batch=4,
+                      max_tiles_per_gaussian=16, sat_margin=2.0, sat_floor=8)
+    bc = compute_binning(
+        s["means3D"], jnp.tile(s["scales"], (1, 3)), s["rotations"], camera,
+        rc, opacities=faint,
+    )
+    assert int(bc.lists.n_sat_masked) == 0
+    np.testing.assert_array_equal(
+        np.asarray(bc.lists.k_eff), np.asarray(bc.lists.count)
     )

@@ -43,6 +43,7 @@ variables["scene_radius"] = jnp.asarray(2.3, jnp.float32)
 camera = setup_camera(W, H, intrinsics_matrix(600, 600, 599.5, 339.5), np.eye(4))
 import os
 
+_spec = os.environ.get("PROBE_BUCKETS", "")  # e.g. "128:4096,384:1024,-1:256"
 rc = RasterConfig(
     max_per_tile=K, gaussian_chunk=256, tile_batch=48,
     grad_pair_budget=int(os.environ.get("PROBE_PAIR_BUDGET", "1500000")),
@@ -50,6 +51,11 @@ rc = RasterConfig(
     track_max_per_tile=0,
     escalate_tiles=int(os.environ.get("PROBE_ESC_TILES", "0")),
     escalate_k=int(os.environ.get("PROBE_ESC_K", "0")),
+    bucket_spec=tuple(
+        tuple(int(v) for v in e.split(":")) for e in _spec.split(",")
+    ) if _spec else None,
+    sat_margin=float(os.environ.get("PROBE_SAT_MARGIN", "0")),
+    sat_floor=int(os.environ.get("PROBE_SAT_FLOOR", "128")),
 )
 
 out = render_gaussians(params, variables["active"], jnp.array([1.0, 0, 0, 0]),
@@ -58,6 +64,19 @@ out = render_gaussians(params, variables["active"], jnp.array([1.0, 0, 0, 0]),
 im_gt = jnp.clip(out.im, 0, 1)
 depth_gt = out.depth
 print("render ok, dropped", int(out.n_dropped), "maxtile", int(out.tile_count.max()), flush=True)
+
+if rc.sat_margin > 0 or rc.bucket_spec:
+    from hierslam_tpu.ops.rasterize import compute_binning as _cbp
+
+    _bl = jax.jit(lambda: _cbp(
+        params["means3D"], jnp.tile(jnp.exp(params["log_scales"]), (1, 3)),
+        params["unnorm_rotations"], camera, rc,
+        opacities=jax.nn.sigmoid(params["logit_opacities"]),
+    ))().lists
+    ke = np.asarray(_bl.k_eff)
+    print("k_eff quantiles", np.percentile(ke, [50, 90, 99, 100]).astype(int),
+          "sat_masked", int(_bl.n_sat_masked), "dropped", int(_bl.n_dropped),
+          "refs", int(_bl.n_refs), flush=True)
 
 sem_levels = (2, 3, 5, 7, 9) if SEM == 26 else ()
 loss_cfg = LossConfig(use_sil_for_loss=False, sil_thres=0.5, w_im=0.5, w_depth=1.0,

@@ -54,12 +54,18 @@ variables["n_active"] = jnp.asarray(N_GAUSS, jnp.int32)
 variables["scene_radius"] = jnp.asarray(2.3, jnp.float32)
 
 camera = setup_camera(W, H, intrinsics_matrix(600.0, 600.0, 599.5, 339.5), np.eye(4))
+_spec = os.environ.get("PROFILE_BUCKETS", "")  # "128:4096,384:1024,-1:256"
 rc = RasterConfig(
     max_per_tile=K, gaussian_chunk=256, tile_batch=48,
     grad_pair_budget=int(os.environ.get("PROFILE_PAIR_BUDGET", "0")),
     grad_bf16=os.environ.get("PROFILE_BF16", "0") == "1",
     escalate_tiles=int(os.environ.get("PROFILE_ESC_TILES", "0")),
     escalate_k=int(os.environ.get("PROFILE_ESC_K", "0")),
+    bucket_spec=tuple(
+        tuple(int(v) for v in e.split(":")) for e in _spec.split(",")
+    ) if _spec else None,
+    sat_margin=float(os.environ.get("PROFILE_SAT_MARGIN", "0")),
+    sat_floor=int(os.environ.get("PROFILE_SAT_FLOOR", "128")),
 )
 
 from hierslam_tpu.slam.losses import render_gaussians

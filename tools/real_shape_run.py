@@ -21,7 +21,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def build_config(basedir, workdir, W, H, max_per_tile, map_every, capacity,
-                 escalate_tiles=0, escalate_k=0, gt_poses=False):
+                 escalate_tiles=0, escalate_k=0, gt_poses=False,
+                 bucket_spec=None, track_bucket_spec=None):
     return dict(
         workdir=workdir,
         run_name="proc_room",
@@ -44,10 +45,12 @@ def build_config(basedir, workdir, W, H, max_per_tile, map_every, capacity,
         map_capacity=capacity,
         raster=dict(
             max_per_tile=max_per_tile, gaussian_chunk=256, tile_batch=48,
-            grad_pair_budget=int(os.environ.get("RS_BUDGET", 3_000_000)),
+            grad_pair_budget=int(os.environ.get("RS_BUDGET", 2_000_000)),
             grad_bf16=os.environ.get("RS_BF16", "1") == "1",
             track_max_per_tile=int(os.environ.get("RS_TRACK_K", 512)),
             escalate_tiles=escalate_tiles, escalate_k=escalate_k,
+            bucket_spec=bucket_spec, track_bucket_spec=track_bucket_spec,
+            sat_margin=float(os.environ.get("RS_SAT_MARGIN", "0")),
         ),
         model=dict(flag_use_embedding=1, eval_gt_transfer=False),
         data=dict(
@@ -132,6 +135,10 @@ def overflow_quality_check(params_np, config, dataset, k_lo, n_frames, every=25)
         rr = dict(config["raster"], max_per_tile=k)
         if rr.get("escalate_tiles"):
             rr["escalate_k"] = (rr.get("escalate_k") or 4 * k_lo) * mult
+        if rr.get("bucket_spec"):
+            rr["bucket_spec"] = tuple(
+                (n, kk * mult) for n, kk in rr["bucket_spec"]
+            )
         rc = raster_config({**config, "raster": rr})
 
         @jax.jit
@@ -163,8 +170,14 @@ def main():
     ap.add_argument("--max-per-tile", type=int, default=1024)
     ap.add_argument("--map-every", type=int, default=8)
     ap.add_argument("--capacity", type=int, default=2_000_000)
-    ap.add_argument("--escalate-tiles", type=int, default=384)
-    ap.add_argument("--escalate-k", type=int, default=4096)
+    ap.add_argument("--escalate-tiles", type=int, default=0)
+    ap.add_argument("--escalate-k", type=int, default=0)
+    ap.add_argument(
+        "--buckets", default="128:4096,384:1024,768:512,-1:256",
+        help="capacity-class ladder n:k,... ('' = single class at "
+             "--max-per-tile; the shipped-config ladder by default)")
+    ap.add_argument(
+        "--track-buckets", default="128:1024,384:512,-1:128")
     ap.add_argument(
         "--gt-poses", action="store_true",
         help="upper-bound calibration run: GT poses instead of tracking "
@@ -186,7 +199,15 @@ def main():
     cfg = build_config(args.data, args.workdir, W, H, args.max_per_tile,
                        args.map_every, args.capacity,
                        escalate_tiles=args.escalate_tiles,
-                       escalate_k=args.escalate_k, gt_poses=args.gt_poses)
+                       escalate_k=args.escalate_k, gt_poses=args.gt_poses,
+                       bucket_spec=tuple(
+                           tuple(int(v) for v in e.split(":"))
+                           for e in args.buckets.split(",")
+                       ) if args.buckets else None,
+                       track_bucket_spec=tuple(
+                           tuple(int(v) for v in e.split(":"))
+                           for e in args.track_buckets.split(",")
+                       ) if args.track_buckets else None)
     if args.gt_poses:
         cfg["run_name"] = "proc_room_gtpose"
     t0 = time.time()

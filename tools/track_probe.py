@@ -31,8 +31,18 @@ params["log_scales"] = jnp.asarray(np.log(rng.uniform(0.008, 0.03, (N, 1))).asty
 variables = G.empty_variables(N)
 variables["active"] = jnp.ones((N,), bool)
 
+import os
+
 camera = setup_camera(W, H, intrinsics_matrix(600, 600, 599.5, 339.5), np.eye(4))
-rc = RasterConfig(max_per_tile=K, gaussian_chunk=256, tile_batch=48)
+_spec = os.environ.get("PROBE_BUCKETS", "")  # "128:1024,384:512,-1:128"
+rc = RasterConfig(
+    max_per_tile=K, gaussian_chunk=256, tile_batch=48,
+    track_bucket_spec=tuple(
+        tuple(int(v) for v in e.split(":")) for e in _spec.split(",")
+    ) if _spec else None,
+    sat_margin=float(os.environ.get("PROBE_SAT_MARGIN", "0")),
+    sat_floor=int(os.environ.get("PROBE_SAT_FLOOR", "128")),
+)
 
 out = render_gaussians(params, variables["active"], jnp.array([1.0, 0, 0, 0]),
                        jnp.zeros(3), camera, rc, with_semantic=False,
