@@ -53,7 +53,11 @@ config = dict(
                 # rasterizer_impl.cu:281-312).
                 bucket_spec=((128, 4096), (384, 1024), (768, 512), (-1, 256)),
                 track_bucket_spec=((128, 1024), (384, 512), (-1, 128)),
-                sat_margin=2.0, sat_floor=128),
+                sat_margin=2.0, sat_floor=128,
+                # mapping works in visible-rank space: per-gaussian costs
+                # scale with the visible prefix, not map capacity; overflow
+                # past the budget is counted and warned-on
+                visible_budget=1_500_000),
     model=dict(
         flag_use_embedding=1,
         eval_gt_transfer=False,

@@ -83,4 +83,5 @@ def raster_config(config: Dict) -> RasterConfig:
         ),
         sat_margin=r.get("sat_margin", 0.0),
         sat_floor=r.get("sat_floor", 64),
+        visible_budget=r.get("visible_budget", 0),
     )

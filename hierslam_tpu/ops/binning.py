@@ -79,6 +79,15 @@ class BucketedLists(NamedTuple):
     n_refs: jax.Array                # [] total non-pad (tile, slot) refs
     n_dropped: jax.Array             # [] pairs lost to budgets/class caps
     n_sat_masked: jax.Array          # [] provably-invisible masked pairs
+    # visible-rank compaction (None unless visible_budget > 0): idx entries
+    # are then RANKS into the touched-descending order, vis_ids[r] is the
+    # original gaussian id at rank r, and rank_of is the inverse
+    # permutation (>= V outside the prefix).  Every downstream per-gaussian
+    # cost — emission sort, inverse-map probes, per-iteration transforms /
+    # table builds / gradient heads — scales with V instead of N (a real
+    # camera sees 30-60% of a room-scale map).
+    vis_ids: Optional[jax.Array] = None   # [V] int32
+    rank_of: Optional[jax.Array] = None   # [N] int32
 
 
 def default_emission_budgets(n: int, r_cap: int) -> Tuple[int, ...]:
@@ -317,6 +326,7 @@ def bin_bucketed(
     xy: Optional[jax.Array] = None,
     conic: Optional[jax.Array] = None,
     opacity: Optional[jax.Array] = None,
+    visible_budget: int = 0,
 ) -> BucketedLists:
     """Rank-bucketed per-tile lists (see :class:`BucketedLists`).
 
@@ -348,11 +358,18 @@ def bin_bucketed(
     num_tiles = grid_y * grid_x
     spec = resolve_bucket_spec(bucket_spec, num_tiles)
     r_cap = max_tiles_per_gaussian
+    # visible-rank compaction: emission only covers the first V rows of
+    # the touched-descending order, so budgets (and every sort fed by
+    # them) shrink from O(N) to O(V); gaussians ranked past V are counted
+    # into n_dropped (the pipeline warns on overflow).
+    v_budget = min(visible_budget, n) if visible_budget > 0 else 0
+    base_n = v_budget if v_budget else n
     budgets = (
         tuple(emission_budgets)
         if emission_budgets is not None
-        else default_emission_budgets(n, r_cap)
+        else default_emission_budgets(base_n, r_cap)
     )
+    budgets = tuple(min(b, base_n) for b in budgets)
     assert len(budgets) >= r_cap
     with_sat = sat_margin > 0.0
     if with_sat and (xy is None or conic is None or opacity is None):
@@ -419,7 +436,11 @@ def bin_bucketed(
             jnp.where(ok, cell_y * grid_x + cell_x, num_tiles).astype(jnp.int32)
         )
         depth_parts.append(depth_s[:b])
-        gauss_parts.append(order[:b])
+        # under compaction, lists carry RANKS into the touched-descending
+        # order (the compact row index), not original gaussian ids
+        gauss_parts.append(
+            jnp.arange(b, dtype=jnp.int32) if v_budget else order[:b]
+        )
         if with_sat:
             # per-quadrant conservative alpha lower bounds: the falloff
             # exponent is concave in pixel position, so each quadrant's
@@ -535,6 +556,13 @@ def bin_bucketed(
         )
 
     n_dropped = n_class_dropped + n_dropped_emit + n_dropped_budget
+    vis_ids = rank_of = None
+    if v_budget:
+        vis_ids = order[:v_budget]
+        # inverse permutation by one sort: position i where order[i] == g
+        _, rank_of = jax.lax.sort(
+            (order, jnp.arange(n, dtype=jnp.int32)), num_keys=1
+        )
     return BucketedLists(
         tile_ids=tuple(ids_out),
         idx=tuple(idx_out),
@@ -543,6 +571,8 @@ def bin_bucketed(
         n_refs=n_refs,
         n_dropped=n_dropped,
         n_sat_masked=n_sat_masked,
+        vis_ids=vis_ids,
+        rank_of=rank_of,
     )
 
 

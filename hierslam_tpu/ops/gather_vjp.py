@@ -214,3 +214,32 @@ def _gather_bwd(max_run, n_diff, pair_budget, grad_bf16, res, g):
 
 
 gather_rows.defvjp(_gather_fwd, _gather_bwd)
+
+
+@jax.custom_vjp
+def compact_rows(arr: jax.Array, vis: jax.Array, rank_of: jax.Array) -> jax.Array:
+    """``arr[vis]`` — compact [N, C] rows to the [V] visible-rank prefix.
+
+    ``vis`` ([V] int32, unique row ids) and ``rank_of`` ([N] int32, the
+    inverse permutation: ``rank_of[vis[r]] == r``, >= V for rows outside
+    the prefix) come from visible-rank binning.  Because ``vis`` is a
+    permutation PREFIX, the backward is scatter-free: one [N]-row gather
+    through the inverse permutation (a scatter-add would be pathological
+    on TPU; a plain gather VJP would emit one).
+    """
+    return aligned_gather_rows(arr, vis)
+
+
+def _compact_fwd(arr, vis, rank_of):
+    return aligned_gather_rows(arr, vis), (rank_of,)
+
+
+def _compact_bwd(res, g):
+    (rank_of,) = res
+    v = g.shape[0]
+    g_pad = jnp.concatenate([g, jnp.zeros((1,) + g.shape[1:], g.dtype)])
+    out = aligned_gather_rows(g_pad, jnp.minimum(rank_of, v))
+    return out, None, None
+
+
+compact_rows.defvjp(_compact_fwd, _compact_bwd)

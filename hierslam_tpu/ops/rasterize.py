@@ -98,6 +98,18 @@ class RasterConfig:
                                       # (need = true overlap count).
     sat_floor: int = 64               # minimum per-tile kept rank under
                                       # saturation capping
+    visible_budget: int = 0           # > 0: amortized (cached) binning is
+                                      # built in VISIBLE-RANK space — the
+                                      # mapper compacts per-gaussian work
+                                      # (transforms, tables, gradient
+                                      # heads, emission sorts, inverse-map
+                                      # probes) to the first V gaussians
+                                      # of the touched-descending order.
+                                      # Gaussians ranked past V drop
+                                      # (counted in n_dropped; the runner
+                                      # warns).  0 = off.  Fresh
+                                      # (uncached) rasterize calls always
+                                      # run full-N.
     densify_max_per_tile: int = 0     # per-tile K for the densify
                                       # non-presence render (0 = 2x
                                       # max_per_tile, capped at 4096).  At
@@ -208,7 +220,8 @@ def _normalize_inputs(opacities, scales):
     return opacities, scales
 
 
-def _bin_from_prep(prep, grid, config: RasterConfig, opacities=None):
+def _bin_from_prep(prep, grid, config: RasterConfig, opacities=None,
+                   visible_budget: int = 0):
     sat = config.sat_margin > 0.0 and opacities is not None
     return binning.bin_bucketed(
         prep.rect_min, prep.rect_max, prep.valid,
@@ -220,6 +233,7 @@ def _bin_from_prep(prep, grid, config: RasterConfig, opacities=None):
         xy=jax.lax.stop_gradient(prep.xy) if sat else None,
         conic=jax.lax.stop_gradient(prep.conic) if sat else None,
         opacity=jax.lax.stop_gradient(opacities) if sat else None,
+        visible_budget=visible_budget,
     )
 
 
@@ -233,13 +247,18 @@ def compute_binning(
     margin_px: float = 0.0,
     pixel_offset_y=0.0,
     opacities: Optional[jax.Array] = None,
+    compact: bool = False,
 ) -> Binning:
     """Tile lists + inverse gradient map for the given (camera-frame) means.
 
     ``margin_px`` inflates the screen rects so the lists stay valid while
     the pose/params drift during an optimization window (amortized binning).
     ``opacities`` (post-sigmoid, [N] or [N, 1]) enables the saturation
-    bound when ``config.sat_margin > 0``.
+    bound when ``config.sat_margin > 0``.  ``compact=True`` applies
+    ``config.visible_budget`` and returns VISIBLE-RANK lists — only for
+    callers that compact their per-gaussian inputs to the cache's
+    ``vis_ids`` prefix (``slam.losses.render_gaussians`` does this
+    automatically when the cache carries one).
     """
     _, scales = _normalize_inputs(jnp.zeros(means3D.shape[0]), scales)
     prep = projection.preprocess(
@@ -250,9 +269,16 @@ def compute_binning(
         pixel_offset_y=pixel_offset_y, radius_margin_px=margin_px,
     )
     grid = config.grid(camera.height, camera.width)
-    lists = _bin_from_prep(prep, grid, config, opacities)
+    lists = _bin_from_prep(
+        prep, grid, config, opacities,
+        visible_budget=config.visible_budget if compact else 0,
+    )
+    n_rows = (
+        lists.vis_ids.shape[0] if lists.vis_ids is not None
+        else means3D.shape[0]
+    )
     inverse = build_inverse_map(
-        _combined_idx(lists), means3D.shape[0], config.max_tiles_per_gaussian
+        _combined_idx(lists), n_rows, config.max_tiles_per_gaussian
     )
     return Binning(lists=lists, inverse=inverse)
 

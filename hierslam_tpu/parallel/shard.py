@@ -166,6 +166,7 @@ def make_dp_mapper(
                 means_cam, scales0, sg["unnorm_rotations"], camera,
                 raster_cfg, active=variables["active"],
                 margin_px=bin_margin_px, opacities=opac0,
+                compact=raster_cfg.visible_budget > 0,
             )
 
         binnings = jax.lax.map(bin_one, (wq, wt), batch_size=4)
@@ -206,7 +207,13 @@ def make_dp_mapper(
                 gmlp = None
             ggp = jax.lax.pmean(ggp, axis)
             parts = jax.lax.pmean(parts, axis)
-            radii = jax.lax.pmax(radii, axis)
+            if raster_cfg.visible_budget:
+                # compact radii live in per-frame rank spaces: not
+                # comparable across devices, and the max_2D_radius
+                # bookkeeping they feed is skipped under compaction
+                radii = jnp.zeros((1,), jnp.int32)
+            else:
+                radii = jax.lax.pmax(radii, axis)
             if gmlp is not None:
                 gmlp = jax.lax.pmean(gmlp, axis)
                 return ggp, gmlp, radii, parts
@@ -274,12 +281,13 @@ def make_dp_mapper(
                 mlp, mlp_state = optim.adam_step(
                     mlp, gmlp, mlp_state, {"w": mlp_lr, "b": mlp_lr}, eps=1e-8
                 )
-            radf = radii.astype(jnp.float32)
-            variables["max_2D_radius"] = jnp.where(
-                radii > 0,
-                jnp.maximum(variables["max_2D_radius"], radf),
-                variables["max_2D_radius"],
-            )
+            if not raster_cfg.visible_budget:
+                radf = radii.astype(jnp.float32)
+                variables["max_2D_radius"] = jnp.where(
+                    radii > 0,
+                    jnp.maximum(variables["max_2D_radius"], radf),
+                    variables["max_2D_radius"],
+                )
             return (gp, variables, opt, mlp, mlp_state), parts
 
         carry = (gp, variables, opt, mlp, mlp_state)

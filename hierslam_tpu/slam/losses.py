@@ -118,7 +118,55 @@ def render_gaussians(
 
     ``means2D_offset`` ([N, 2], zeros) is the classic-densification gradient
     hook: its cotangent is dL/d(screen-space mean), the reference's
-    retain_grad'ed dummy means2D (scripts/hierslam.py:754)."""
+    retain_grad'ed dummy means2D (scripts/hierslam.py:754).
+
+    When the binning cache was built in visible-rank space
+    (``raster_cfg.visible_budget > 0``), the raw parameters are first
+    COMPACTED to the cache's [V] visible prefix with one packed gather
+    (scatter-free custom VJP routes gradients back through the inverse
+    permutation), so the transform / activation / table / backward-head
+    work all scales with V instead of N.  ``RenderOutput.radii`` is then
+    in compact space."""
+    vis = getattr(getattr(binning_cache, "lists", None), "vis_ids", None)
+    if vis is not None:
+        from hierslam_tpu.ops.gather_vjp import compact_rows
+
+        if means2D_offset is not None:
+            raise NotImplementedError(
+                "classic densification (means2D gradients) needs full-N "
+                "radii bookkeeping — incompatible with visible_budget"
+            )
+        s = params["log_scales"].shape[1]
+        sem_w = params["semantic"].shape[1] if (
+            with_semantic and "semantic" in params
+        ) else 0
+        cols = [
+            params["means3D"],                      # 0:3
+            params["unnorm_rotations"],             # 3:7
+            params["rgb_colors"],                   # 7:10
+            params["logit_opacities"],              # 10:11
+            params["log_scales"],                   # 11:11+s
+        ]
+        if sem_w:
+            cols.append(params["semantic"])
+        if active is not None:
+            cols.append(active.astype(jnp.float32)[:, None])
+        packed = jnp.concatenate(cols, axis=1)
+        pc = compact_rows(packed, vis, binning_cache.lists.rank_of)
+        params = dict(
+            means3D=pc[:, 0:3],
+            unnorm_rotations=pc[:, 3:7],
+            rgb_colors=pc[:, 7:10],
+            logit_opacities=pc[:, 10:11],
+            log_scales=pc[:, 11:11 + s],
+        )
+        off = 11 + s
+        if sem_w:
+            params["semantic"] = pc[:, off:off + sem_w]
+            off += sem_w
+        if active is not None:
+            active = jax.lax.stop_gradient(pc[:, off]) > 0.5
+
     means_cam, rots = transforms.transform_to_frame(
         params["means3D"],
         params["unnorm_rotations"],

@@ -142,6 +142,12 @@ def make_mapper(
     """
     with_sem = bool(loss_cfg.sem_levels)
     use_classic = densify_cfg is not None
+    compacted = raster_cfg.visible_budget > 0
+    if use_classic and compacted:
+        raise ValueError(
+            "use_gaussian_splatting_densification needs full-N means2D/"
+            "radii bookkeeping — set raster.visible_budget=0 with it"
+        )
     if use_classic:
         from hierslam_tpu.slam.densify_classic import (
             accumulate_mean2d_gradient,
@@ -194,6 +200,7 @@ def make_mapper(
                     means_cam, scales0, sg["unnorm_rotations"], camera,
                     raster_cfg, active=variables_now["active"],
                     margin_px=bin_margin_px, opacities=opac0,
+                    compact=compacted,
                 )
 
             # Binning over the window in batches of 4 frames: full vmap
@@ -232,6 +239,10 @@ def make_mapper(
                 # grad_pair_budget silently biases mapping gradients —
                 # VERDICT r2 weak #8); the runner warns on nonzero.
                 parts["n_grad_dropped"] = out.n_grad_dropped.astype(jnp.float32)
+                # ... and the mapping binning's own drops (class caps,
+                # emission budgets, visible_budget): the runner warns when
+                # they exceed its overflow threshold.
+                parts["n_map_bin_dropped"] = out.n_dropped.astype(jnp.float32)
                 return loss, (out.radii, parts)
 
             wants_mlp = with_sem and loss_cfg.use_mlp
@@ -299,12 +310,18 @@ def make_mapper(
                     mlp, gmlp, mlp_state, {"w": mlp_lr, "b": mlp_lr}, eps=1e-8
                 )
 
-            radf = radii.astype(jnp.float32)
-            variables["max_2D_radius"] = jnp.where(
-                radii > 0,
-                jnp.maximum(variables["max_2D_radius"], radf),
-                variables["max_2D_radius"],
-            )
+            if not compacted:
+                # max_2D_radius is consumed ONLY by classic clone/split
+                # densification (utils/slam_external.py:191-243) and is
+                # re-zeroed by every silhouette densify — under visible-
+                # rank compaction radii live in per-frame compact spaces,
+                # so the (unconsumed) bookkeeping is skipped.
+                radf = radii.astype(jnp.float32)
+                variables["max_2D_radius"] = jnp.where(
+                    radii > 0,
+                    jnp.maximum(variables["max_2D_radius"], radf),
+                    variables["max_2D_radius"],
+                )
             # full per-iteration loss breakdown (the reference wandb-logs
             # every mapping iteration via report_loss[_semantic],
             # utils/eval_helpers.py:277-339)

@@ -613,6 +613,18 @@ class SLAMRunner:
             else:
                 self.bucket = max(self.bucket, self._choose_bucket())
             self.logger.log_iters(t, "mapping", losses)
+            n_mb = int(np.max(np.asarray(losses.get("n_map_bin_dropped", 0.0))))
+            if n_mb > self.overflow_warn_threshold:
+                import warnings
+
+                warnings.warn(
+                    f"frame {t}: mapping binning dropped {n_mb} (gaussian, "
+                    "tile) pairs (capacity-class ladder / emission budgets"
+                    + (f" / visible_budget={self.rc.visible_budget}"
+                       if self.rc.visible_budget else "")
+                    + ") — consider widening raster.bucket_spec"
+                )
+                self.logger.log(t, n_map_bin_dropped=n_mb)
             n_gd = int(np.max(np.asarray(losses.get("n_grad_dropped", 0.0))))
             if n_gd > 0:
                 import warnings

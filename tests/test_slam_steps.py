@@ -372,3 +372,115 @@ def test_emergency_prune_frees_least_opaque():
     # the 20% cap binds when asking for more
     v3, n_freed3 = G.emergency_prune(params, variables, 100)
     assert int(n_freed3) == 4  # floor(0.2 * 20)
+
+
+def test_mapping_visible_compaction_matches_full():
+    """visible_budget covering every gaussian must reproduce the full-N
+    mapping EXACTLY (same per-iteration losses, same final params): the
+    compact render is the same math over the visible-rank permutation,
+    with gradients routed back through the inverse permutation."""
+    from dataclasses import replace as dc_replace
+
+    camera = _camera()
+    key = jax.random.PRNGKey(1)
+    gt = _synthetic_map(key)
+    out = render_gaussians(
+        gt, jnp.ones((600,), bool), jnp.array([1.0, 0, 0, 0]), jnp.zeros(3),
+        camera, RC, with_semantic=False, gaussians_grad=False,
+        camera_grad=False,
+    )
+    n_cap = 1024
+    params = G.empty_params(n_cap, 4)
+    variables = G.empty_variables(n_cap)
+    fields = {k: gt[k] for k in (
+        "means3D", "rgb_colors", "unnorm_rotations", "logit_opacities",
+        "log_scales")}
+    fields["rgb_colors"] = jnp.clip(
+        fields["rgb_colors"]
+        + 0.3 * jax.random.normal(key, fields["rgb_colors"].shape), 0, 1
+    )
+    params, variables, _ = G.insert_gaussians(
+        params, variables, fields, jnp.ones((600,), bool), 0.0
+    )
+    variables["scene_radius"] = jnp.asarray(3.0)
+    cfg = LossConfig(use_sil_for_loss=False, sil_thres=0.5, w_im=0.5, w_depth=1.0)
+    lrs = {
+        "means3D": 1e-4, "rgb_colors": 2.5e-3, "unnorm_rotations": 1e-3,
+        "logit_opacities": 0.05, "log_scales": 1e-3,
+    }
+    window = {
+        "im": out.im[None], "depth": out.depth[None],
+        "time_idx": jnp.zeros((1,), jnp.int32),
+    }
+    rand_idx = jnp.zeros((12,), jnp.int32)
+    prune = PruneConfig(start_after=10**9)
+
+    def run(rc):
+        mapper = make_mapper(camera, cfg, rc, lrs, num_iters=12, prune_cfg=prune)
+        p2, _, _, _, losses = mapper(
+            params, variables, window, rand_idx, None, None
+        )
+        return p2, losses["loss"]
+
+    p_full, l_full = run(RC)
+    p_comp, l_comp = run(dc_replace(RC, visible_budget=n_cap))
+    np.testing.assert_allclose(
+        np.asarray(l_comp), np.asarray(l_full), rtol=2e-5
+    )
+    # fp summation-order noise only: gradients travel a permuted route
+    np.testing.assert_allclose(
+        np.asarray(p_comp["means3D"]), np.asarray(p_full["means3D"]),
+        atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(p_comp["rgb_colors"]), np.asarray(p_full["rgb_colors"]),
+        atol=1e-5,
+    )
+
+    # an undersized budget still converges; the overflow is counted
+    p_small, l_small = run(dc_replace(RC, visible_budget=256))
+    assert float(l_small[-1]) < float(l_small[0])
+
+
+def test_tracking_bucketed_cache_matches_single_class():
+    """The pose-cache fast path with a capacity-class ladder must
+    reproduce the single-class tracker: same per-iteration losses (to fp
+    noise) and the same recovered pose, because every tile renders the
+    same depth-ordered list — only partitioned across class strips."""
+    from dataclasses import replace as dc_replace
+
+    camera = _camera()
+    gt = _synthetic_map(jax.random.PRNGKey(0))
+    active = jnp.ones((600,), bool)
+    q_gt = transforms.normalize(jnp.array([1.0, 0.01, -0.02, 0.005]))
+    t_gt = jnp.array([0.03, -0.02, 0.01])
+    out = render_gaussians(
+        gt, active, q_gt, t_gt, camera, RC,
+        with_semantic=False, gaussians_grad=False, camera_grad=False,
+    )
+    cfg = LossConfig(use_sil_for_loss=True, sil_thres=0.99, w_im=0.5, w_depth=1.0)
+
+    def run(rc):
+        tracker = make_tracker(camera, cfg, rc, lr_quat=4e-4, lr_trans=2e-3,
+                               num_iters=40)
+        p2, _, _, (losses, _, _), _ = tracker(
+            gt, active, jnp.zeros((600,)), out.im, out.depth, 1
+        )
+        return p2["cam_trans"][0, :, 1], losses
+
+    # both configs cover every tile's (margin-inflated) count, so neither
+    # truncates and the partitioned render must equal the single-class one
+    rc_single = dc_replace(RC, max_per_tile=1024)
+    rc_ladder = dc_replace(
+        RC, track_bucket_spec=((4, 1024), (6, 512), (-1, 256))
+    )
+    t_single, l_single = run(rc_single)
+    t_ladder, l_ladder = run(rc_ladder)
+    # fp reduce-order noise across partitions, compounded by 40 coupled
+    # Adam steps: per-iteration losses agree to ~3e-4 relative
+    np.testing.assert_allclose(
+        np.asarray(l_ladder), np.asarray(l_single), rtol=1e-3, atol=1e-2
+    )
+    np.testing.assert_allclose(
+        np.asarray(t_ladder), np.asarray(t_single), atol=1e-4
+    )

@@ -51,6 +51,7 @@ def build_config(basedir, workdir, W, H, max_per_tile, map_every, capacity,
             escalate_tiles=escalate_tiles, escalate_k=escalate_k,
             bucket_spec=bucket_spec, track_bucket_spec=track_bucket_spec,
             sat_margin=float(os.environ.get("RS_SAT_MARGIN", "0")),
+            visible_budget=int(os.environ.get("RS_VIS", 1_500_000)),
         ),
         model=dict(flag_use_embedding=1, eval_gt_transfer=False),
         data=dict(
