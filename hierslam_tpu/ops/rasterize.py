@@ -386,7 +386,7 @@ def rasterize(
     # (xy - pixel), so the translated render is exactly the tile's render
     # at the class capacity.  The strips then assemble by one permutation
     # gather of tile blocks.
-    strips_acc, strips_ftmed, ids_list = [], [], []
+    strips_acc, ids_list = [], []
     row_off = 0
     for ids_b, idx_b in zip(lists.tile_ids, lists.idx):
         nb, kb = idx_b.shape
@@ -422,15 +422,14 @@ def rasterize(
                 grid=(1, nb), chunk=config.gaussian_chunk,
                 tile_batch=config.tile_batch,
             )
-        strips_acc.append(acc_b)
-        strips_ftmed.append(jnp.stack([ft_b, med_b]))
+        # ONE assembly pass: ft/med ride as two extra channels
+        strips_acc.append(
+            jnp.concatenate([acc_b, ft_b[None], med_b[None]], axis=0)
+        )
         ids_list.append(ids_b)
 
-    acc = _assemble_buckets(strips_acc, ids_list, grid, config.tile_shape, H, W)
-    ftmed = _assemble_buckets(
-        strips_ftmed, ids_list, grid, config.tile_shape, H, W
-    )
-    final_T, med = ftmed[0], ftmed[1]
+    merged = _assemble_buckets(strips_acc, ids_list, grid, config.tile_shape, H, W)
+    acc, final_T, med = merged[:-2], merged[-2], merged[-1]
 
     im = acc[:3]
     sem = acc[3 : 3 + semantics.shape[1]] if semantics is not None else None

@@ -121,7 +121,7 @@ def render_tracked(
     limx, limy = 1.3 * camera.tan_fovx, 1.3 * camera.tan_fovy
     interp = config.pallas_interpret or jax.default_backend() == "cpu"
 
-    strips_acc, strips_ftmed, ids_list = [], [], []
+    strips_acc, ids_list = [], []
     for bi, ids_b in enumerate(cache.tile_ids):
         nb = ids_b.shape[0]
         if nb == 0:
@@ -207,12 +207,12 @@ def render_tracked(
                 grid=(1, nb), chunk=config.gaussian_chunk,
                 tile_batch=config.tile_batch,
             )
-        strips_acc.append(acc_b)
-        strips_ftmed.append(jnp.stack([ft_b, med_b]))
+        # ONE assembly pass: ft/med ride as two extra channels
+        strips_acc.append(
+            jnp.concatenate([acc_b, ft_b[None], med_b[None]], axis=0)
+        )
         ids_list.append(ids_b)
 
-    acc = _assemble_buckets(strips_acc, ids_list, grid, config.tile_shape, H, W)
-    ftmed = _assemble_buckets(
-        strips_ftmed, ids_list, grid, config.tile_shape, H, W
-    )
-    return acc[:3], acc[-2], ftmed[1], 1.0 - ftmed[0], acc[-1]
+    merged = _assemble_buckets(strips_acc, ids_list, grid, config.tile_shape, H, W)
+    acc, ft, med = merged[:-2], merged[-2], merged[-1]
+    return acc[:3], acc[-2], med, 1.0 - ft, acc[-1]

@@ -241,3 +241,31 @@ def test_grad_pair_budget():
     v2, g2, out2 = loss(max(8, n_valid // 2))
     assert int(out2.n_grad_dropped) > 0
     assert all(np.all(np.isfinite(np.asarray(g))) for g in g2)
+
+
+def test_xla_backend_matches_pallas_with_ladder():
+    """The XLA fallback blend renders the bucketed capacity-class path
+    identically to the (interpret-mode) Pallas blend."""
+    from dataclasses import replace as dc_replace
+
+    scene, cam = make_scene(n=120, seed=2, W=64, H=48, sem=0)
+    camera = to_camera(cam)
+    args = [
+        jnp.asarray(scene["means3D"], jnp.float32),
+        jnp.asarray(scene["colors"], jnp.float32),
+        jnp.asarray(scene["opacities"], jnp.float32),
+        jnp.asarray(scene["scales"], jnp.float32),
+        jnp.asarray(scene["rotations"], jnp.float32),
+        camera,
+    ]
+    rc = RasterConfig(max_per_tile=128, gaussian_chunk=32, tile_batch=2,
+                      bucket_spec=((3, 256), (5, 128), (-1, 64)))
+    a = rasterize(*args, config=rc)
+    b = rasterize(*args, config=dc_replace(rc, backend="xla"))
+    np.testing.assert_allclose(np.asarray(a.im), np.asarray(b.im), atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(a.final_opacity), np.asarray(b.final_opacity), atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(a.median_depth), np.asarray(b.median_depth), atol=1e-4
+    )
