@@ -56,6 +56,7 @@ rc = RasterConfig(
     ) if _spec else None,
     sat_margin=float(os.environ.get("PROBE_SAT_MARGIN", "0")),
     sat_floor=int(os.environ.get("PROBE_SAT_FLOOR", "128")),
+    visible_budget=int(os.environ.get("PROBE_VIS", "0")),
 )
 
 out = render_gaussians(params, variables["active"], jnp.array([1.0, 0, 0, 0]),
@@ -72,6 +73,7 @@ if rc.sat_margin > 0 or rc.bucket_spec:
         params["means3D"], jnp.tile(jnp.exp(params["log_scales"]), (1, 3)),
         params["unnorm_rotations"], camera, rc,
         opacities=jax.nn.sigmoid(params["logit_opacities"]),
+        compact=rc.visible_budget > 0,
     ))().lists
     ke = np.asarray(_bl.k_eff)
     print("k_eff quantiles", np.percentile(ke, [50, 90, 99, 100]).astype(int),

@@ -66,6 +66,7 @@ rc = RasterConfig(
     ) if _spec else None,
     sat_margin=float(os.environ.get("PROFILE_SAT_MARGIN", "0")),
     sat_floor=int(os.environ.get("PROFILE_SAT_FLOOR", "128")),
+    visible_budget=int(os.environ.get("PROFILE_VIS", "0")),
 )
 
 from hierslam_tpu.slam.losses import render_gaussians
