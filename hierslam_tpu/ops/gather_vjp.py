@@ -60,18 +60,32 @@ def aligned_gather_rows(arr: jax.Array, idx: jax.Array) -> jax.Array:
 
 class InverseMap(NamedTuple):
     spos: jax.Array      # [T*K] flat (tile, slot) positions, sorted by gaussian id
-    skey: jax.Array      # [T*K] gaussian id at each sorted position (N = invalid pad)
-    starts: jax.Array    # [N] start of each gaussian's run in the sorted order
-    n_ref: jax.Array     # [N] number of referencing (tile, slot) pairs
+    # [N] END of each gaussian's run in the sorted order.  starts/n_ref are
+    # derived per use (starts[g] = ends[g-1], n_ref = ends - starts): the
+    # map is stacked per window frame by the mapping phase, and every extra
+    # [N]-sized leaf costs N*4B*window HBM (a redundant starts+n_ref pair
+    # plus a runtime-dead skey tipped the N=2M/24-frame mapper 25MB over
+    # the v5e's 16GB).
+    ends: jax.Array
     # [T*K] int8 bit-planes: bit p set at position i iff skey[i] ==
     # skey[i + 2**p] — the segment masks of the backward's doubling passes.
-    # They only depend on skey, so they are computed ONCE per binning and
-    # reused across every optimizer iteration (the per-iteration pred
-    # compare + packed-bool layout copies showed up at ~25 ms/iter in the
-    # N=2M device trace).
+    # They only depend on the sorted gaussian ids, so they are computed
+    # ONCE per binning and reused across every optimizer iteration (the
+    # per-iteration pred compare + packed-bool layout copies showed up at
+    # ~25 ms/iter in the N=2M device trace).
     run_masks: jax.Array
     # NOTE: the static run-length bound (max_tiles_per_gaussian) lives in
     # RasterConfig, not here — pytree leaves must stay arrays for lax.map.
+
+    @property
+    def starts(self) -> jax.Array:
+        return jnp.concatenate(
+            [jnp.zeros((1,), self.ends.dtype), self.ends[:-1]]
+        )
+
+    @property
+    def n_ref(self) -> jax.Array:
+        return self.ends - self.starts
 
 
 def rank_probes(keys: jax.Array, num_probes: int) -> jax.Array:
@@ -113,28 +127,21 @@ def build_inverse_map(
     key = jnp.where(flat < 0, num_gaussians, flat)
     skey, spos = jax.lax.sort((key, pos), num_keys=1)
     ends = rank_probes(key, num_gaussians)
-    starts = jnp.concatenate([jnp.zeros((1,), jnp.int32), ends[:-1]])
     masks = jnp.zeros((m,), jnp.int8)
     s, p = 1, 0
     while s < (max_run or 16):
         same = (skey[:-s] == skey[s:]).astype(jnp.int8) << p
         masks = masks + jnp.pad(same, (0, s))
         s, p = s * 2, p + 1
-    return InverseMap(
-        spos=spos, skey=skey, starts=starts,
-        n_ref=(ends - starts).astype(jnp.int32),
-        run_masks=masks,
-    )
+    return InverseMap(spos=spos, ends=ends.astype(jnp.int32), run_masks=masks)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
 def gather_rows(
     arr: jax.Array,
     tile_idx: jax.Array,
     spos: jax.Array,
-    skey: jax.Array,
-    starts: jax.Array,
-    n_ref: jax.Array,
+    ends: jax.Array,
     run_masks: jax.Array,
     max_run: int = 16,
     n_diff: int = 0,
@@ -143,8 +150,8 @@ def gather_rows(
 ) -> jax.Array:
     """``arr[max(tile_idx, 0)]`` with a scatter-free, exact backward.
 
-    arr: [N, C]; tile_idx: [T, K] (-1 pad); (spos, skey, starts, n_ref)
-    from :func:`build_inverse_map`.  Output [T, K, C]; padded slots gather
+    arr: [N, C]; tile_idx: [T, K] (-1 pad); (spos, ends) from
+    :func:`build_inverse_map`.  Output [T, K, C]; padded slots gather
     row 0 (callers mask by validity, and their cotangents are excluded from
     the backward by construction).
 
@@ -170,14 +177,16 @@ def gather_rows(
     return aligned_gather_rows(arr, jnp.maximum(tile_idx, 0))
 
 
-def _gather_fwd(arr, tile_idx, spos, skey, starts, n_ref, run_masks,
+def _gather_fwd(arr, tile_idx, spos, ends, run_masks,
                 max_run, n_diff, pair_budget, grad_bf16):
     out = aligned_gather_rows(arr, jnp.maximum(tile_idx, 0))
-    return out, (spos, starts, n_ref, run_masks)
+    return out, (spos, ends, run_masks)
 
 
 def _gather_bwd(max_run, n_diff, pair_budget, grad_bf16, res, g):
-    spos, starts, n_ref, run_masks = res
+    spos, ends, run_masks = res
+    starts = jnp.concatenate([jnp.zeros((1,), ends.dtype), ends[:-1]])
+    n_ref = ends - starts
     t, k, c = g.shape
     m = t * k
     if pair_budget and pair_budget < m:
@@ -210,7 +219,7 @@ def _gather_bwd(max_run, n_diff, pair_budget, grad_bf16, res, g):
     grad = jnp.where(((n_ref > 0) & (starts < m))[:, None], head, 0.0)
     if nd < c:
         grad = jnp.pad(grad, ((0, 0), (0, c - nd)))
-    return grad, None, None, None, None, None, None
+    return grad, None, None, None, None
 
 
 gather_rows.defvjp(_gather_fwd, _gather_bwd)

@@ -371,8 +371,8 @@ def rasterize(
     )
     g_comb = gather_rows(
         table, _combined_idx(lists),
-        inverse.spos, inverse.skey, inverse.starts,
-        inverse.n_ref, inverse.run_masks, config.max_tiles_per_gaussian,
+        inverse.spos, inverse.ends, inverse.run_masks,
+        config.max_tiles_per_gaussian,
         c_main, config.grad_pair_budget, config.grad_bf16,
     )
     k_min = lists.idx[-1].shape[1]

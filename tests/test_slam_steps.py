@@ -192,8 +192,8 @@ def test_gather_rows_backward_exact():
     inv = build_inverse_map(jnp.asarray(idx), n, max_run)
 
     def f(a):
-        out = gather_rows(a, jnp.asarray(idx), inv.spos, inv.skey,
-                          inv.starts, inv.n_ref, inv.run_masks, max_run)
+        out = gather_rows(a, jnp.asarray(idx), inv.spos, inv.ends,
+                          inv.run_masks, max_run)
         return jnp.sum(out * cot)
 
     def f_ref(a):

@@ -111,8 +111,7 @@ idx0 = _combined_idx(binning0.lists)   # all capacity classes, k_min-wide rows
 inv0 = binning0.inverse
 
 def _gr(t):
-    return gather_rows(t, idx0, inv0.spos, inv0.skey, inv0.starts, inv0.n_ref,
-                       inv0.run_masks, 16)
+    return gather_rows(t, idx0, inv0.spos, inv0.ends, inv0.run_masks, 16)
 
 _, t_gf = timeit("gather fwd [T,K,36]", jax.jit(_gr), table0)
 _, t_gb = timeit(

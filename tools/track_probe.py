@@ -2,6 +2,9 @@ import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
 import jax
 import jax.numpy as jnp
 
