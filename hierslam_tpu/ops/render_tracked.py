@@ -14,9 +14,12 @@ TPU gathers are the dominant cost.  This path instead:
    rect/frustum culling, blend.  Gradients reduce straight to the 7 pose
    dofs — no gather, no scatter, anywhere.
 
-The per-pair projection reproduces preprocess (forward.cu:74-113,156-256)
-specialized to isotropic covariance: with w2c rotation folded into the
-pre-transformed means, ``cov2d = s^2 J J^T + 0.3 I``.
+The per-pair projection reproduces preprocess (forward.cu:74-113,156-256).
+Isotropic maps cache one scale per pair (``cov2d = s^2 J J^T + 0.3 I``);
+anisotropic maps cache the frame-CONSTANT world covariance ``S = R s s R^T``
+(6-vector) per pair and evaluate ``cov2d = (J W) S (J W)^T + 0.3 I`` with
+the current pose's rotation ``W`` each iteration — still pure dense math,
+no per-iteration gather.
 """
 from __future__ import annotations
 
@@ -37,7 +40,9 @@ class TrackCache(NamedTuple):
     means_world: Tuple[jax.Array, ...]   # [n_b, k_b, 3]
     colors: Tuple[jax.Array, ...]        # [n_b, k_b, 3]
     opacity: Tuple[jax.Array, ...]       # [n_b, k_b] post-sigmoid
-    scale: Tuple[jax.Array, ...]         # [n_b, k_b] isotropic post-exp
+    # isotropic: [n_b, k_b] post-exp scale; anisotropic: [n_b, k_b, 6]
+    # world-frame covariance (xx, xy, xz, yy, yz, zz) — frame-constant
+    scale: Tuple[jax.Array, ...]
     slot_valid: Tuple[jax.Array, ...]    # [n_b, k_b]
     count: jax.Array         # [T] true overlap counts
     radii0: jax.Array        # [N] radii at the cache pose (bookkeeping)
@@ -48,23 +53,39 @@ def build_track_cache(
     params, active, q0, t0, camera, config: RasterConfig, margin_px: float = 12.0
 ) -> TrackCache:
     """Bin + gather the frame-constant attributes at the initial pose."""
-    means_cam0, _ = transforms.transform_to_frame(
+    aniso = params["log_scales"].shape[1] == 3
+    means_cam0, rots_cam0 = transforms.transform_to_frame(
         params["means3D"], params["unnorm_rotations"],
         jax.lax.stop_gradient(q0), jax.lax.stop_gradient(t0),
-        gaussians_grad=False, camera_grad=False, transform_rots=False,
+        gaussians_grad=False, camera_grad=False, transform_rots=aniso,
     )
     scales = jnp.exp(params["log_scales"])
     opac = jax.nn.sigmoid(params["logit_opacities"])
     b = compute_binning(
-        means_cam0, scales, params["unnorm_rotations"], camera, config,
+        means_cam0, scales, rots_cam0, camera, config,
         active=active, margin_px=margin_px, opacities=opac,
     )
+    if aniso:
+        # frame-constant WORLD covariance; the per-iteration render folds in
+        # the current pose's rotation (forward.cu:118-152 computeCov3D)
+        from hierslam_tpu.ops import projection as _proj
+
+        cov3d = _proj.quat_scale_to_cov3d(
+            transforms.normalize(params["unnorm_rotations"]), scales,
+            mod=camera.scale_modifier,
+        )
+        shape_cols = jnp.stack(
+            [cov3d[:, 0, 0], cov3d[:, 0, 1], cov3d[:, 0, 2],
+             cov3d[:, 1, 1], cov3d[:, 1, 2], cov3d[:, 2, 2]], axis=1,
+        )
+    else:
+        shape_cols = scales[:, :1]
     table = jnp.concatenate(
         [
             params["means3D"],
             params["rgb_colors"],
             opac,
-            scales[:, :1],
+            shape_cols,
         ],
         axis=1,
     )
@@ -79,14 +100,15 @@ def build_track_cache(
         mw.append(g[..., 0:3])
         cols.append(g[..., 3:6])
         opas.append(jnp.where(valid, g[..., 6], 0.0))
-        scs.append(g[..., 7])
+        scs.append(g[..., 7:13] if aniso else g[..., 7])
         valids.append(valid)
     # radii at cache pose for the reference's max_2D_radius bookkeeping
     from hierslam_tpu.ops import projection
 
     prep0 = projection.preprocess(
-        means_cam0, jnp.tile(scales[:, :1], (1, 3)), params["unnorm_rotations"],
-        camera, config.tile_shape, active=active,
+        means_cam0,
+        scales if aniso else jnp.tile(scales[:, :1], (1, 3)),
+        rots_cam0, camera, config.tile_shape, active=active,
     )
     return TrackCache(
         tile_ids=tuple(b.lists.tile_ids),
@@ -148,7 +170,7 @@ def render_tracked(
             -1,
         )
 
-        # isotropic EWA: cov2d = s^2 J J^T + 0.3 I (forward.cu:74-113)
+        # EWA 2D covariance (forward.cu:74-113)
         safe_z = jnp.where(z == 0, 1.0, z)
         inv_z = 1.0 / safe_z
         txc = jnp.clip(m[..., 0] * inv_z, -limx, limx)
@@ -157,10 +179,32 @@ def render_tracked(
         jyy = fy * inv_z
         jxz = -fx * txc * inv_z
         jyz = -fy * tyc * inv_z
-        s2 = cache.scale[bi] * cache.scale[bi]
-        c_xx = s2 * (jxx * jxx + jxz * jxz) + 0.3
-        c_xy = s2 * (jxz * jyz)
-        c_yy = s2 * (jyy * jyy + jyz * jyz) + 0.3
+        sc = cache.scale[bi]
+        if sc.ndim == 3:
+            # anisotropic: cov2d = (J W) S (J W)^T with the cached
+            # world-frame covariance S and current rotation W — the exact
+            # preprocess math with S frame-constant
+            Wm = w2c[:3, :3]
+            t0 = [jxx * Wm[0, c] + jxz * Wm[2, c] for c in range(3)]
+            t1 = [jyy * Wm[1, c] + jyz * Wm[2, c] for c in range(3)]
+            S = [
+                [sc[..., 0], sc[..., 1], sc[..., 2]],
+                [sc[..., 1], sc[..., 3], sc[..., 4]],
+                [sc[..., 2], sc[..., 4], sc[..., 5]],
+            ]
+            a0 = [t0[0] * S[0][c] + t0[1] * S[1][c] + t0[2] * S[2][c]
+                  for c in range(3)]
+            b1 = [t1[0] * S[0][c] + t1[1] * S[1][c] + t1[2] * S[2][c]
+                  for c in range(3)]
+            c_xx = a0[0] * t0[0] + a0[1] * t0[1] + a0[2] * t0[2] + 0.3
+            c_xy = a0[0] * t1[0] + a0[1] * t1[1] + a0[2] * t1[2]
+            c_yy = b1[0] * t1[0] + b1[1] * t1[1] + b1[2] * t1[2] + 0.3
+        else:
+            # isotropic: cov2d = s^2 J J^T + 0.3 I
+            s2 = sc * sc
+            c_xx = s2 * (jxx * jxx + jxz * jxz) + 0.3
+            c_xy = s2 * (jxz * jyz)
+            c_yy = s2 * (jyy * jyy + jyz * jyz) + 0.3
         det = c_xx * c_yy - c_xy * c_xy
         det_ok = det != 0.0
         det_inv = 1.0 / jnp.where(det_ok, det, 1.0)

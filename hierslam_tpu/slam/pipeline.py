@@ -155,15 +155,15 @@ class SLAMRunner:
             w_im=tcfg["loss_weights"]["im"],
             w_depth=tcfg["loss_weights"]["depth"],
         )
-        # The pose-only cached fast path assumes isotropic covariance;
-        # anisotropic maps fall back to the general renderer per iteration.
-        isotropic = config.get("gaussian_distribution", "isotropic") == "isotropic"
+        # Pose-only cached fast path: isotropic maps cache one scale per
+        # pair, anisotropic ones the frame-constant world covariance
+        # (ops/render_tracked.py) — both avoid per-iteration gathers.
         self.tracker = make_tracker(
             self.camera, track_loss, rc,
             lr_quat=tcfg["lrs"]["cam_unnorm_rots"],
             lr_trans=tcfg["lrs"]["cam_trans"],
             num_iters=tcfg["num_iters"],
-            use_cache=isotropic,
+            use_cache=bool(config.get("track_use_cache", True)),
         )
 
         mcfg = config["mapping"]

@@ -113,6 +113,69 @@ def test_render_tracked_perturbed_pose_close():
     np.testing.assert_allclose(np.asarray(dep), np.asarray(exact.depth), atol=1e-2)
 
 
+def _aniso_scene_and_camera(seed=0, n=80):
+    params, camera = _scene_and_camera(seed=seed, n=n)
+    rng = np.random.default_rng(seed + 100)
+    log_s = np.asarray(params["log_scales"])  # [n, 1]
+    per_axis = rng.uniform(np.log(0.5), np.log(2.0), (log_s.shape[0], 3))
+    params["log_scales"] = jnp.asarray(log_s + per_axis, jnp.float32)
+    return params, camera
+
+
+def _exact_render_aniso(params, camera, q, t, camera_grad=False):
+    means_cam, rots_cam = transforms.transform_to_frame(
+        params["means3D"], params["unnorm_rotations"], q, t,
+        gaussians_grad=False, camera_grad=camera_grad, transform_rots=True,
+    )
+    return rasterize(
+        means_cam,
+        params["rgb_colors"],
+        jax.nn.sigmoid(params["logit_opacities"][:, 0]),
+        jnp.exp(params["log_scales"]),
+        transforms.normalize(rots_cam),
+        camera,
+        config=RC,
+    )
+
+
+def test_render_tracked_anisotropic_matches_exact_at_cache_pose():
+    params, camera = _aniso_scene_and_camera(seed=7)
+    q = transforms.normalize(jnp.array([1.0, 0.01, 0.02, -0.01]))
+    t = jnp.array([0.05, -0.02, 0.03])
+    cache = build_track_cache(params, None, q, t, camera, RC, margin_px=0.0)
+    assert cache.scale[0].ndim == 3 and cache.scale[0].shape[-1] == 6
+    im, dep, med, fo, mask = render_tracked(cache, q, t, camera, RC)
+    exact = _exact_render_aniso(params, camera, q, t)
+    np.testing.assert_allclose(np.asarray(im), np.asarray(exact.im), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dep), np.asarray(exact.depth), atol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(fo), np.asarray(exact.final_opacity), atol=1e-4
+    )
+
+
+def test_render_tracked_anisotropic_pose_gradients():
+    params, camera = _aniso_scene_and_camera(seed=8)
+    q0 = jnp.array([1.0, 0, 0, 0])
+    t0 = jnp.zeros(3)
+    cache = build_track_cache(params, None, q0, t0, camera, RC, margin_px=12.0)
+    target = _exact_render_aniso(params, camera, q0, t0).im
+
+    def loss_cached(q, t):
+        im, dep, med, fo, mask = render_tracked(cache, q, t, camera, RC)
+        return jnp.sum((im - target) ** 2) + jnp.sum(jnp.sin(dep))
+
+    def loss_exact(q, t):
+        out = _exact_render_aniso(params, camera, q, t, camera_grad=True)
+        return jnp.sum((out.im - target) ** 2) + jnp.sum(jnp.sin(out.depth))
+
+    q = transforms.normalize(jnp.array([1.0, 0.003, -0.001, 0.002]))
+    t = jnp.array([0.005, 0.004, -0.006])
+    g1 = jax.grad(loss_cached, argnums=(0, 1))(q, t)
+    g2 = jax.grad(loss_exact, argnums=(0, 1))(q, t)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-3)
+
+
 def test_render_tracked_pose_gradients():
     params, camera = _scene_and_camera(seed=5)
     q0 = jnp.array([1.0, 0, 0, 0])
