@@ -49,6 +49,31 @@ def pad_cols_for_gather(x: jax.Array) -> jax.Array:
     return jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
 
 
+def pack_cols_table(cols) -> jax.Array:
+    """Assemble 1-D [N] columns into a lane-aligned [N, 128·k] gather table.
+
+    A 2-D f32 array tiles as T(8, 128): any materialized [N, c<128]
+    intermediate pads its minor dim to 128 lanes (a [1.5M, 2] xy costs
+    732MB, 64x its data), and rematerialized autodiff is free to
+    materialize padded copies of every stack/concat operand — ~14 such
+    copies (10GB of padding) OOM'd the N=2M mapper.  This helper builds
+    the table in FLAT 1-D space instead (1-D arrays tile losslessly):
+    one [width·N] concat of the columns plus a zero tail, one reshape,
+    one transpose — exactly one padded buffer, already lane-aligned for
+    the fast full-row gather path.  The transpose is a single
+    bandwidth-bound pass (~2ms at the mapping shape); its VJP is the
+    mirror transpose + split, still scatter-free.
+    """
+    n = cols[0].shape[0]
+    ncol = len(cols)
+    width = -(-ncol // LANE) * LANE
+    pieces = [c.astype(jnp.float32).reshape(-1) for c in cols]
+    if width > ncol:
+        pieces.append(jnp.zeros(((width - ncol) * n,), jnp.float32))
+    flat = jnp.concatenate(pieces, 0)
+    return flat.reshape(width, n).T
+
+
 def aligned_gather_rows(arr: jax.Array, idx: jax.Array) -> jax.Array:
     """``arr[idx]`` routed through the fast full-lane-row gather path."""
     c = arr.shape[-1]

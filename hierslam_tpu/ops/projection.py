@@ -30,6 +30,46 @@ class Preprocessed(NamedTuple):
     tiles_touched: jax.Array  # [N] int32
 
 
+class PrepCols(NamedTuple):
+    """:class:`Preprocessed` as 1-D COLUMNS.
+
+    TPU tiles 2-D f32 arrays as T(8, 128): any materialized [N, c<128]
+    intermediate pads its minor dim to 128 lanes (a [1.5M, 1] column costs
+    732MB, 128x its data).  XLA usually fuses such stacks away, but under
+    rematerialized autodiff it materializes padded copies of every concat
+    operand — at the mapping shape (V=1.5M visible budget) ~14 of them
+    coexisted, 10GB of pure padding (the round-3 N=2M OOM).  The raster
+    hot path therefore carries per-gaussian quantities as 1-D vectors
+    (which tile losslessly) and assembles its single gather table in flat
+    1-D space."""
+
+    x: jax.Array           # [N] pixel-space mean x
+    y: jax.Array           # [N] pixel-space mean y
+    depth: jax.Array       # [N] camera-space z
+    conic_a: jax.Array     # [N] inverse-covariance (a, b, c)
+    conic_b: jax.Array
+    conic_c: jax.Array
+    radius: jax.Array      # [N] int32 screen radius (0 => culled)
+    rect_min_x: jax.Array  # [N] int32 inclusive
+    rect_min_y: jax.Array
+    rect_max_x: jax.Array  # [N] int32 exclusive
+    rect_max_y: jax.Array
+    valid: jax.Array       # [N] bool
+    tiles_touched: jax.Array  # [N] int32
+
+    def stacked(self) -> Preprocessed:
+        return Preprocessed(
+            xy=jnp.stack([self.x, self.y], -1),
+            depth=self.depth,
+            conic=jnp.stack([self.conic_a, self.conic_b, self.conic_c], -1),
+            radius=self.radius,
+            rect_min=jnp.stack([self.rect_min_x, self.rect_min_y], -1),
+            rect_max=jnp.stack([self.rect_max_x, self.rect_max_y], -1),
+            valid=self.valid,
+            tiles_touched=self.tiles_touched,
+        )
+
+
 def quat_scale_to_cov3d(rotations: jax.Array, scales: jax.Array, mod: float = 1.0) -> jax.Array:
     """R S S^T R^T world covariance (forward.cu:118-152). ``rotations`` are
     unit quaternions [N,4] (w,x,y,z); ``scales`` [N,3] positive."""
@@ -59,6 +99,25 @@ def preprocess(
     pixel_offset_y=0.0,
     radius_margin_px: float = 0.0,
 ) -> Preprocessed:
+    """Project Gaussians to screen space (stacked [N, c] convenience form)."""
+    return preprocess_cols(
+        means3D, scales, rotations, camera, tile_shape, active=active,
+        cov3D_precomp=cov3D_precomp, pixel_offset_y=pixel_offset_y,
+        radius_margin_px=radius_margin_px,
+    ).stacked()
+
+
+def preprocess_cols(
+    means3D: jax.Array,
+    scales: jax.Array,
+    rotations: jax.Array,
+    camera,
+    tile_shape: Tuple[int, int],
+    active: jax.Array | None = None,
+    cov3D_precomp: jax.Array | None = None,
+    pixel_offset_y=0.0,
+    radius_margin_px: float = 0.0,
+) -> PrepCols:
     """Project Gaussians to screen space.
 
     ``means3D`` are world-frame (usually already the current camera frame
@@ -146,7 +205,9 @@ def preprocess(
     det = c_xx * c_yy - c_xy * c_xy
     det_valid = det != 0.0
     det_inv = 1.0 / jnp.where(det_valid, det, 1.0)
-    conic = jnp.stack([c_yy * det_inv, -c_xy * det_inv, c_xx * det_inv], -1)
+    conic_a = c_yy * det_inv
+    conic_b = -c_xy * det_inv
+    conic_c = c_xx * det_inv
 
     mid = 0.5 * (c_xx + c_yy)
     sq = jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
@@ -160,25 +221,21 @@ def preprocess(
     # rows [0, strip_h)); orig_height preserves the projection when a strip
     # camera is shorter than the full image.
     orig_h = camera.proj_height or camera.height
-    xy = jnp.stack(
-        [
-            ndc2pix(ph_x * p_w, camera.width),
-            ndc2pix(ph_y * p_w, orig_h) - pixel_offset_y,
-        ],
-        -1,
-    )
+    px = ndc2pix(ph_x * p_w, camera.width)
+    py = ndc2pix(ph_y * p_w, orig_h) - pixel_offset_y
 
     # getRect (auxiliary.h:46-56) over the tile grid.  radius_margin_px
     # inflates the rects for amortized binning (the blend re-applies the
     # exact current-pose rect test per slot).
     grid_x = (camera.width + tw - 1) // tw
     grid_y = (camera.height + th - 1) // th
-    xy_ng = jax.lax.stop_gradient(xy)
+    px_ng = jax.lax.stop_gradient(px)
+    py_ng = jax.lax.stop_gradient(py)
     rad_rect = radius_f + radius_margin_px
-    rect_min_x = jnp.clip(jnp.floor((xy_ng[:, 0] - rad_rect) / tw), 0, grid_x).astype(jnp.int32)
-    rect_min_y = jnp.clip(jnp.floor((xy_ng[:, 1] - rad_rect) / th), 0, grid_y).astype(jnp.int32)
-    rect_max_x = jnp.clip(jnp.floor((xy_ng[:, 0] + rad_rect + tw - 1) / tw), 0, grid_x).astype(jnp.int32)
-    rect_max_y = jnp.clip(jnp.floor((xy_ng[:, 1] + rad_rect + th - 1) / th), 0, grid_y).astype(jnp.int32)
+    rect_min_x = jnp.clip(jnp.floor((px_ng - rad_rect) / tw), 0, grid_x).astype(jnp.int32)
+    rect_min_y = jnp.clip(jnp.floor((py_ng - rad_rect) / th), 0, grid_y).astype(jnp.int32)
+    rect_max_x = jnp.clip(jnp.floor((px_ng + rad_rect + tw - 1) / tw), 0, grid_x).astype(jnp.int32)
+    rect_max_y = jnp.clip(jnp.floor((py_ng + rad_rect + th - 1) / th), 0, grid_y).astype(jnp.int32)
 
     tiles_touched = (rect_max_x - rect_min_x) * (rect_max_y - rect_min_y)
     valid = in_frustum & det_valid & (tiles_touched > 0)
@@ -188,13 +245,18 @@ def preprocess(
     radius = jnp.where(valid, radius_f, 0.0).astype(jnp.int32)
     tiles_touched = jnp.where(valid, tiles_touched, 0)
 
-    return Preprocessed(
-        xy=xy,
+    return PrepCols(
+        x=px,
+        y=py,
         depth=depth,
-        conic=conic,
+        conic_a=conic_a,
+        conic_b=conic_b,
+        conic_c=conic_c,
         radius=radius,
-        rect_min=jnp.stack([rect_min_x, rect_min_y], -1),
-        rect_max=jnp.stack([rect_max_x, rect_max_y], -1),
+        rect_min_x=rect_min_x,
+        rect_min_y=rect_min_y,
+        rect_max_x=rect_max_x,
+        rect_max_y=rect_max_y,
         valid=valid,
         tiles_touched=tiles_touched,
     )

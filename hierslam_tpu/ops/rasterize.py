@@ -34,7 +34,12 @@ import jax
 import jax.numpy as jnp
 
 from hierslam_tpu.ops import binning, projection, render_xla
-from hierslam_tpu.ops.gather_vjp import InverseMap, build_inverse_map, gather_rows
+from hierslam_tpu.ops.gather_vjp import (
+    InverseMap,
+    build_inverse_map,
+    gather_rows,
+    pack_cols_table,
+)
 
 
 @dataclass(frozen=True)
@@ -326,14 +331,14 @@ def rasterize(
     grid = config.grid(H, W)
     opacities, scales = _normalize_inputs(opacities, scales)
 
-    prep = projection.preprocess(
+    pc = projection.preprocess_cols(
         means3D, scales, rotations, camera, config.tile_shape, active=active,
         pixel_offset_y=pixel_offset_y,
     )
 
     if binning_cache is None:
         lists = _bin_from_prep(
-            prep, grid, config, jax.lax.stop_gradient(opacities)
+            pc.stacked(), grid, config, jax.lax.stop_gradient(opacities)
         )
         inverse = build_inverse_map(
             _combined_idx(lists), means3D.shape[0], config.max_tiles_per_gaussian
@@ -347,28 +352,30 @@ def rasterize(
     # columns (row-gathers cost ~20ns/row regardless of width): the per-slot
     # re-check is then pure dense math — no second gather.  (No-op for fresh
     # binning; restores exact rect semantics for amortized lists.)
-    feats = colors if semantics is None else jnp.concatenate([colors, semantics], axis=1)
-    xy = prep.xy
+    # The table is assembled from 1-D COLUMNS in flat space (pack_cols_table)
+    # so exactly one lane-padded buffer materializes — stacking [N, c<128]
+    # pieces left ~14 padded 732MB remat copies live at once (N=2M OOM).
+    px, py = pc.x, pc.y
     if means2D_offset is not None:
         # zero-valued hook whose gradient is dL/d(screen-space mean) — the
         # reference's retain_grad'ed dummy means2D (slam_helpers.py:119,
         # scripts/hierslam.py:754) feeding classic densification.
-        xy = xy + means2D_offset
-    rect_cols = jax.lax.stop_gradient(
-        jnp.concatenate(
-            [
-                prep.rect_min.astype(jnp.float32),
-                prep.rect_max.astype(jnp.float32),
-                prep.valid.astype(jnp.float32)[:, None],
-            ],
-            axis=1,
-        )
+        px = px + means2D_offset[:, 0]
+        py = py + means2D_offset[:, 1]
+    feat_cols = [colors[:, i] for i in range(colors.shape[1])]
+    if semantics is not None:
+        feat_cols += [semantics[:, i] for i in range(semantics.shape[1])]
+    rect_cols = [
+        jax.lax.stop_gradient(c.astype(jnp.float32))
+        for c in (pc.rect_min_x, pc.rect_min_y, pc.rect_max_x, pc.rect_max_y,
+                  pc.valid)
+    ]
+    c_main = 7 + len(feat_cols)
+    table = pack_cols_table(
+        [px, py, pc.conic_a, pc.conic_b, pc.conic_c, opacities, pc.depth]
+        + feat_cols + rect_cols
     )
-    c_main = 7 + feats.shape[1]
-    table = jnp.concatenate(
-        [xy, prep.conic, opacities[:, None], prep.depth[:, None], feats, rect_cols],
-        axis=1,
-    )
+    c_rect_end = c_main + 5
     g_comb = gather_rows(
         table, _combined_idx(lists),
         inverse.spos, inverse.ends, inverse.run_masks,
@@ -396,7 +403,7 @@ def rasterize(
         gb_all = g_comb[row_off:row_off + rows].reshape(nb, kb, -1)
         row_off += rows
         gb = gb_all[..., :c_main]
-        gb_rect = jax.lax.stop_gradient(gb_all[..., c_main:])
+        gb_rect = jax.lax.stop_gradient(gb_all[..., c_main:c_rect_end])
         btx = (ids_b % grid_x).astype(jnp.float32)[:, None]
         bty = (ids_b // grid_x).astype(jnp.float32)[:, None]
         slot_ok_b = _slot_ok(idx_b, gb_rect, btx, bty)
@@ -438,7 +445,7 @@ def rasterize(
 
     return RenderOutput(
         im=im,
-        radii=prep.radius,
+        radii=pc.radius,
         depth=depth_im,
         median_depth=med,
         final_opacity=1.0 - final_T,

@@ -129,7 +129,7 @@ def render_gaussians(
     in compact space."""
     vis = getattr(getattr(binning_cache, "lists", None), "vis_ids", None)
     if vis is not None:
-        from hierslam_tpu.ops.gather_vjp import compact_rows
+        from hierslam_tpu.ops.gather_vjp import compact_rows, pack_cols_table
 
         if means2D_offset is not None:
             raise NotImplementedError(
@@ -140,18 +140,21 @@ def render_gaussians(
         sem_w = params["semantic"].shape[1] if (
             with_semantic and "semantic" in params
         ) else 0
-        cols = [
-            params["means3D"],                      # 0:3
-            params["unnorm_rotations"],             # 3:7
-            params["rgb_colors"],                   # 7:10
-            params["logit_opacities"],              # 10:11
-            params["log_scales"],                   # 11:11+s
-        ]
+        # flat 1-D column packing (ops/gather_vjp.pack_cols_table): a 2-D
+        # concat with [N, c<128] operands materializes lane-padded copies
+        # under rematerialized autodiff (~1GB each at N=2M)
+        cols = (
+            [params["means3D"][:, i] for i in range(3)]          # 0:3
+            + [params["unnorm_rotations"][:, i] for i in range(4)]  # 3:7
+            + [params["rgb_colors"][:, i] for i in range(3)]     # 7:10
+            + [params["logit_opacities"][:, 0]]                  # 10:11
+            + [params["log_scales"][:, i] for i in range(s)]     # 11:11+s
+        )
         if sem_w:
-            cols.append(params["semantic"])
+            cols += [params["semantic"][:, i] for i in range(sem_w)]
         if active is not None:
-            cols.append(active.astype(jnp.float32)[:, None])
-        packed = jnp.concatenate(cols, axis=1)
+            cols.append(active.astype(jnp.float32))
+        packed = pack_cols_table(cols)
         pc = compact_rows(packed, vis, binning_cache.lists.rank_of)
         params = dict(
             means3D=pc[:, 0:3],
