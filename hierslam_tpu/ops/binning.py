@@ -311,53 +311,32 @@ def resolve_bucket_spec(spec, num_tiles: int):
     return tuple(out)
 
 
-def bin_bucketed(
-    rect_min: jax.Array,
-    rect_max: jax.Array,
-    valid: jax.Array,
-    depth: jax.Array,
-    grid: Tuple[int, int],
-    bucket_spec,
-    tile_shape: Tuple[int, int],
-    max_tiles_per_gaussian: int = 16,
-    emission_budgets: Optional[Sequence[int]] = None,
-    sat_margin: float = 0.0,
-    sat_floor: int = 64,
-    xy: Optional[jax.Array] = None,
-    conic: Optional[jax.Array] = None,
-    opacity: Optional[jax.Array] = None,
-    visible_budget: int = 0,
-) -> BucketedLists:
-    """Rank-bucketed per-tile lists (see :class:`BucketedLists`).
+class SortedPairs(NamedTuple):
+    """Shared emission+sort+saturation core output (see `_emit_sort_sat`)."""
 
-    Same budgeted emission + one 3-key sort as :func:`bin_gaussians`; the
-    per-tile lists are then extracted at RANK-assigned class capacities
-    instead of one uniform K.
+    s_gauss: jax.Array        # [M] gaussian ids (or visible RANKS) sorted by (tile, depth)
+    starts: jax.Array         # [T] per-tile run starts in the sorted order
+    ends: jax.Array           # [T]
+    counts: jax.Array         # [T] true overlap counts
+    k_eff: jax.Array          # [T] saturation-bounded per-tile need
+    n_sat_masked: jax.Array   # []
+    n_dropped_pre: jax.Array  # [] emission-cap + row-budget drops
+    order: jax.Array          # [N] touched-descending gaussian order
+    v_budget: int             # 0 or the applied visible budget
 
-    With ``sat_margin > 0`` (requires ``xy``/``conic``/``opacity``), each
-    emitted (gaussian, tile) pair carries QUANTIZED conservative lower
-    bounds of the gaussian's alpha over each of the tile's four 8x8
-    QUADRANTS: the blend's falloff exponent is concave in pixel position,
-    so its minimum over a quadrant rectangle sits at one of its corners —
-    evaluated on the tile's 3x3 corner grid.  (Quadrant resolution matters:
-    a whole-tile bound is ~100x too weak when gaussians are smaller than
-    the 16px tile, because no single pixel realizes every pair's worst
-    corner at once.)  The four 8-bit bounds ride the sort as one extra
-    uint32 payload operand; after the sort, four global cumsums of
-    ``log1p(-alpha_lb)`` (each monotone nonincreasing) give, per tile, the
-    first depth rank where EVERY quadrant's transmittance provably falls
-    below the blend's 1e-4 cutoff at all of its pixels
-    (forward.cu:358-366).  ``k_eff`` is then ``min(count, max(sat_floor,
-    ceil(sat_margin * k_need)))`` — the margin covers parameter drift
-    while amortized lists stay live — and pairs beyond it are masked out
-    of the lists (counted in ``n_sat_masked``).
-    """
+
+def _emit_sort_sat(
+    rect_min, rect_max, valid, depth, grid, tile_shape,
+    r_cap, emission_budgets, sat_margin, sat_floor,
+    xy, conic, opacity, visible_budget,
+) -> SortedPairs:
+    """Budgeted prefix emission -> one 3-key sort -> per-tile runs +
+    saturation-bounded need.  The shared front half of :func:`bin_bucketed`
+    and :func:`bin_stream` (see their docstrings for the semantics)."""
     grid_y, grid_x = grid
     th, tw = tile_shape
     n = depth.shape[0]
     num_tiles = grid_y * grid_x
-    spec = resolve_bucket_spec(bucket_spec, num_tiles)
-    r_cap = max_tiles_per_gaussian
     # visible-rank compaction: emission only covers the first V rows of
     # the touched-descending order, so budgets (and every sort fed by
     # them) shrink from O(N) to O(V); gaussians ranked past V are counted
@@ -408,8 +387,13 @@ def bin_bucketed(
     cols += [jnp.zeros_like(touched)] * (width - len(cols))
     packed_src = jax.lax.optimization_barrier(jnp.stack(cols, -1))
     # barriers pin the packed-int32-row gather fast path (XLA otherwise
-    # fuses the stack into the gather and falls off the packed-row class)
-    packed = jax.lax.optimization_barrier(packed_src[order])  # [N, width]
+    # fuses the stack into the gather and falls off the packed-row class).
+    # Only the first base_n rows of the order are ever read (every budget
+    # is clamped to base_n), so the gather stops there — at N=2M/V=1.5M
+    # this trims 25% off the trace's hottest binning op.
+    packed = jax.lax.optimization_barrier(
+        packed_src[order[:base_n]]
+    )  # [base_n, width]
     depth_s = jax.lax.bitcast_convert_type(packed[:, 4], jnp.float32)
     if with_sat:
         sxy_x = jax.lax.bitcast_convert_type(packed[:, 5], jnp.float32)
@@ -532,6 +516,83 @@ def bin_bucketed(
     else:
         k_eff = counts
 
+    return SortedPairs(
+        s_gauss=s_gauss,
+        starts=starts,
+        ends=ends,
+        counts=counts,
+        k_eff=k_eff,
+        n_sat_masked=n_sat_masked,
+        n_dropped_pre=n_dropped_emit + n_dropped_budget,
+        order=order,
+        v_budget=v_budget,
+    )
+
+
+def _vis_fields(sp: SortedPairs, n: int):
+    if not sp.v_budget:
+        return None, None
+    vis_ids = sp.order[: sp.v_budget]
+    # inverse permutation by one sort: position i where order[i] == g
+    _, rank_of = jax.lax.sort(
+        (sp.order, jnp.arange(n, dtype=jnp.int32)), num_keys=1
+    )
+    return vis_ids, rank_of
+
+
+def bin_bucketed(
+    rect_min: jax.Array,
+    rect_max: jax.Array,
+    valid: jax.Array,
+    depth: jax.Array,
+    grid: Tuple[int, int],
+    bucket_spec,
+    tile_shape: Tuple[int, int],
+    max_tiles_per_gaussian: int = 16,
+    emission_budgets: Optional[Sequence[int]] = None,
+    sat_margin: float = 0.0,
+    sat_floor: int = 64,
+    xy: Optional[jax.Array] = None,
+    conic: Optional[jax.Array] = None,
+    opacity: Optional[jax.Array] = None,
+    visible_budget: int = 0,
+) -> BucketedLists:
+    """Rank-bucketed per-tile lists (see :class:`BucketedLists`).
+
+    Same budgeted emission + one 3-key sort as :func:`bin_gaussians`; the
+    per-tile lists are then extracted at RANK-assigned class capacities
+    instead of one uniform K.
+
+    With ``sat_margin > 0`` (requires ``xy``/``conic``/``opacity``), each
+    emitted (gaussian, tile) pair carries QUANTIZED conservative lower
+    bounds of the gaussian's alpha over each of the tile's four 8x8
+    QUADRANTS: the blend's falloff exponent is concave in pixel position,
+    so its minimum over a quadrant rectangle sits at one of its corners —
+    evaluated on the tile's 3x3 corner grid.  (Quadrant resolution matters:
+    a whole-tile bound is ~100x too weak when gaussians are smaller than
+    the 16px tile, because no single pixel realizes every pair's worst
+    corner at once.)  The four 8-bit bounds ride the sort as one extra
+    uint32 payload operand; after the sort, four global cumsums of
+    ``log1p(-alpha_lb)`` (each monotone nonincreasing) give, per tile, the
+    first depth rank where EVERY quadrant's transmittance provably falls
+    below the blend's 1e-4 cutoff at all of its pixels
+    (forward.cu:358-366).  ``k_eff`` is then ``min(count, max(sat_floor,
+    ceil(sat_margin * k_need)))`` — the margin covers parameter drift
+    while amortized lists stay live — and pairs beyond it are masked out
+    of the lists (counted in ``n_sat_masked``).
+    """
+    grid_y, grid_x = grid
+    num_tiles = grid_y * grid_x
+    n = depth.shape[0]
+    spec = resolve_bucket_spec(bucket_spec, num_tiles)
+    sp = _emit_sort_sat(
+        rect_min, rect_max, valid, depth, grid, tile_shape,
+        max_tiles_per_gaussian, emission_budgets, sat_margin, sat_floor,
+        xy, conic, opacity, visible_budget,
+    )
+    s_gauss, starts, counts, k_eff = sp.s_gauss, sp.starts, sp.counts, sp.k_eff
+    m = s_gauss.shape[0]
+
     # rank-assign tiles to capacity classes by need
     rank_order = jnp.argsort(-k_eff, stable=False).astype(jnp.int32)
     s_gauss_pad = jnp.concatenate([s_gauss, jnp.full((1,), -1, jnp.int32)])
@@ -555,14 +616,8 @@ def bin_bucketed(
             jnp.maximum(jnp.minimum(k_eff[ids_b], counts[ids_b]) - k_b, 0)
         )
 
-    n_dropped = n_class_dropped + n_dropped_emit + n_dropped_budget
-    vis_ids = rank_of = None
-    if v_budget:
-        vis_ids = order[:v_budget]
-        # inverse permutation by one sort: position i where order[i] == g
-        _, rank_of = jax.lax.sort(
-            (order, jnp.arange(n, dtype=jnp.int32)), num_keys=1
-        )
+    n_dropped = n_class_dropped + sp.n_dropped_pre
+    vis_ids, rank_of = _vis_fields(sp, n)
     return BucketedLists(
         tile_ids=tuple(ids_out),
         idx=tuple(idx_out),
@@ -570,7 +625,152 @@ def bin_bucketed(
         k_eff=k_eff,
         n_refs=n_refs,
         n_dropped=n_dropped,
-        n_sat_masked=n_sat_masked,
+        n_sat_masked=sp.n_sat_masked,
+        vis_ids=vis_ids,
+        rank_of=rank_of,
+    )
+
+
+class StreamLists(NamedTuple):
+    """Ragged depth-ordered pair stream, quantized to ``rw``-pair rows.
+
+    The TRUE static-shape analogue of the CUDA pipeline's render-every-
+    overlap-until-saturation (rasterizer_impl.cu:281-312 + the per-pixel
+    ``T<1e-4`` stop, forward.cu:358-366): each tile gets exactly
+    ``ceil(k_alloc / rw)`` consecutive rows of the stream, where
+    ``k_alloc`` is its saturation-bounded need ``k_eff`` (capped at
+    ``k_cap``) granted under a GLOBAL pair budget by waterfilling — all
+    tiles share one ceiling ``c`` chosen as the largest value for which
+    ``sum(min(rows_needed, c))`` fits the budget, with leftover rows going
+    to the highest-need tiles.  Unlike a capacity-class ladder there is no
+    per-class padding: blended pairs ~= the real saturation-bounded count.
+
+    ``idx`` is [R, rw] with rows grouped by ascending tile id; PAD slots
+    hold ``sentinel`` (= the row count of the gather table, pointing at an
+    appended all-zero row whose opacity logit is very negative — they blend
+    to nothing and route no gradient).  Under visible compaction entries
+    are RANKS (compact row ids) like :class:`BucketedLists`.
+    """
+
+    idx: jax.Array          # [R, rw] int32 (sentinel-padded)
+    row_off: jax.Array      # [T+1] int32 row offsets per tile (ascending)
+    count: jax.Array        # [T] true overlap counts
+    k_eff: jax.Array        # [T] saturation-bounded need
+    k_alloc: jax.Array      # [T] granted slots (multiple of rw, or k_eff rounded)
+    n_refs: jax.Array       # [] kept (non-pad) pairs
+    n_rows: jax.Array       # [] used rows (<= R)
+    n_dropped: jax.Array    # [] real pairs lost (budget + caps + emission)
+    n_sat_masked: jax.Array
+    # pad value (the sentinel row index) is NOT carried: it equals the
+    # gather table's row count minus one, which callers know statically
+    # (all fields must be stackable arrays for lax.map over window frames)
+    vis_ids: Optional[jax.Array] = None
+    rank_of: Optional[jax.Array] = None
+
+
+def bin_stream(
+    rect_min: jax.Array,
+    rect_max: jax.Array,
+    valid: jax.Array,
+    depth: jax.Array,
+    grid: Tuple[int, int],
+    tile_shape: Tuple[int, int],
+    stream_rows: int,
+    k_cap: int = 4096,
+    rw: int = 128,
+    max_tiles_per_gaussian: int = 16,
+    emission_budgets: Optional[Sequence[int]] = None,
+    sat_margin: float = 0.0,
+    sat_floor: int = 64,
+    xy: Optional[jax.Array] = None,
+    conic: Optional[jax.Array] = None,
+    opacity: Optional[jax.Array] = None,
+    visible_budget: int = 0,
+) -> StreamLists:
+    """Build the ragged pair stream (see :class:`StreamLists`).
+
+    ``stream_rows`` (static) is the global budget in ``rw``-pair rows;
+    ``k_cap`` bounds any single tile (static, sets the renderer's per-tile
+    scratch).  Sharing the emission/sort/saturation core with
+    :func:`bin_bucketed`.
+    """
+    grid_y, grid_x = grid
+    num_tiles = grid_y * grid_x
+    n = depth.shape[0]
+    assert k_cap % rw == 0
+    sp = _emit_sort_sat(
+        rect_min, rect_max, valid, depth, grid, tile_shape,
+        max_tiles_per_gaussian, emission_budgets, sat_margin, sat_floor,
+        xy, conic, opacity, visible_budget,
+    )
+    counts, k_eff, starts = sp.counts, sp.k_eff, sp.starts
+    m = sp.s_gauss.shape[0]
+    mrt = k_cap // rw
+
+    # --- waterfill: one global row ceiling c* + leftover to top need -----
+    rows_need = -(-jnp.minimum(k_eff, k_cap) // rw)          # [T]
+    # f(j) = sum(min(rows_need, j)) is monotone in j; pick the largest
+    # j <= mrt with f(j) <= stream_rows (j=0..mrt is a SMALL static range)
+    f = jnp.stack(
+        [jnp.sum(jnp.minimum(rows_need, j)) for j in range(mrt + 1)]
+    )                                                         # [mrt+1]
+    j_star = jnp.sum((f <= stream_rows).astype(jnp.int32)) - 1  # >= 0 (f(0)=0)
+    rows_alloc = jnp.minimum(rows_need, j_star)
+    # leftover rows raise the hardest tiles one row at a time: tiles with
+    # unmet need, in descending-need order, until the budget is exhausted
+    leftover = stream_rows - jnp.sum(rows_alloc)
+    unmet = rows_need - rows_alloc                            # [T] >= 0
+    deficit_order = jnp.argsort(-unmet, stable=False)
+    gets_extra = jnp.zeros((num_tiles,), jnp.int32).at[deficit_order].set(
+        (jnp.arange(num_tiles) < leftover).astype(jnp.int32)
+        * (unmet[deficit_order] > 0).astype(jnp.int32)
+    )
+    rows_alloc = rows_alloc + gets_extra
+    k_alloc = jnp.minimum(rows_alloc * rw, jnp.minimum(k_eff, k_cap))
+
+    row_off = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(rows_alloc).astype(jnp.int32)]
+    )                                                         # [T+1]
+    n_rows = row_off[-1]
+
+    # --- stream extraction ----------------------------------------------
+    r_ids = jnp.arange(stream_rows, dtype=jnp.int32)
+    # tile of row r: last t with row_off[t] <= r (pad rows -> num_tiles-1,
+    # masked below by r < n_rows)
+    tile_of_row = (
+        jnp.searchsorted(row_off[1:], r_ids, side="right").astype(jnp.int32)
+    )
+    tile_of_row = jnp.minimum(tile_of_row, num_tiles - 1)
+    base = (r_ids - row_off[tile_of_row]) * rw                # [R]
+    lim = jnp.minimum(k_alloc, counts)[tile_of_row]           # [R]
+    lane = jnp.arange(rw, dtype=jnp.int32)
+    take = starts[tile_of_row][:, None] + base[:, None] + lane[None, :]
+    ok = (
+        (base[:, None] + lane[None, :] < lim[:, None])
+        & (r_ids[:, None] < n_rows)
+    )
+    sentinel = sp.v_budget if sp.v_budget else n
+    s_gauss_pad = jnp.concatenate(
+        [sp.s_gauss, jnp.full((1,), sentinel, jnp.int32)]
+    )
+    idx = jnp.where(ok, s_gauss_pad[jnp.minimum(take, m)], sentinel)
+
+    kept = jnp.minimum(k_alloc, counts)
+    n_refs = jnp.sum(kept)
+    n_dropped = sp.n_dropped_pre + jnp.sum(
+        jnp.maximum(jnp.minimum(k_eff, counts) - kept, 0)
+    )
+    vis_ids, rank_of = _vis_fields(sp, n)
+    return StreamLists(
+        idx=idx,
+        row_off=row_off,
+        count=counts,
+        k_eff=k_eff,
+        k_alloc=k_alloc,
+        n_refs=n_refs,
+        n_rows=n_rows,
+        n_dropped=n_dropped,
+        n_sat_masked=sp.n_sat_masked,
         vis_ids=vis_ids,
         rank_of=rank_of,
     )

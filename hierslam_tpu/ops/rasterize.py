@@ -127,9 +127,23 @@ class RasterConfig:
                                       # once per phase, so a generous K is
                                       # near-free.
 
+    stream_rows: int = 0              # stream backend: global pair budget in
+                                      # 128-pair rows (ops/binning.bin_stream
+                                      # waterfilling).  0 = dense fallback
+                                      # (num_tiles x stream_cap/128 rows —
+                                      # exact, for tests/small scenes).
+    stream_cap: int = 4096            # stream backend: hard per-tile pair
+                                      # cap (sets the backward kernel's
+                                      # per-tile VMEM scratch)
+
     def __post_init__(self):
-        if self.backend not in ("pallas", "xla"):
+        if self.backend not in ("pallas", "xla", "stream"):
             raise ValueError(f"unknown blend backend {self.backend!r}")
+
+    def stream_rows_for(self, grid: Tuple[int, int]) -> int:
+        if self.stream_rows:
+            return self.stream_rows
+        return grid[0] * grid[1] * (self.stream_cap // 128)
 
     @property
     def esc_k(self) -> int:
@@ -411,7 +425,10 @@ def rasterize(
         shift_x = (j - btx) * tw_
         shift_y = -bty * th_
         gb = gb.at[..., 0].add(shift_x).at[..., 1].add(shift_y)
-        if config.backend == "pallas":
+        if config.backend != "xla":  # "stream" falls back to the fused
+            # pallas class blend here: rasterize()'s per-class path serves
+            # fresh/densify/eval renders; the streamed path lives behind a
+            # StreamBinning cache (slam/losses.render_gaussians)
             from hierslam_tpu.ops.render_pallas import render_tiles_pallas
 
             acc_b, ft_b, med_b = render_tiles_pallas(

@@ -232,7 +232,8 @@ def render_tracked(
         j = jnp.arange(nb, dtype=jnp.float32)[:, None]
         xy = xy.at[..., 0].add((j - btx) * tw).at[..., 1].add(-bty * th)
 
-        if config.backend == "pallas":
+        if config.backend != "xla":  # "stream" uses the pallas class blend
+            # here until the tracking stream path lands
             from hierslam_tpu.ops.render_pallas import render_tiles_pallas
 
             table = jnp.concatenate(

@@ -126,7 +126,74 @@ def render_gaussians(
     (scatter-free custom VJP routes gradients back through the inverse
     permutation), so the transform / activation / table / backward-head
     work all scales with V instead of N.  ``RenderOutput.radii`` is then
-    in compact space."""
+    in compact space.
+
+    A :class:`~hierslam_tpu.ops.render_stream.StreamBinning` cache takes
+    the STREAMED fast path instead: raw attributes feed the ragged
+    per-tile Pallas kernel directly (projection happens in-kernel; no
+    screen-space table is built) — see ops/render_stream.py."""
+    from hierslam_tpu.ops import render_stream as _rs
+
+    if isinstance(binning_cache, _rs.StreamBinning):
+        if params["log_scales"].shape[1] != 1:
+            raise NotImplementedError(
+                "stream backend supports isotropic maps only"
+            )
+        if means2D_offset is not None:
+            raise NotImplementedError(
+                "classic densification is incompatible with the stream "
+                "backend (needs full-N means2D bookkeeping)"
+            )
+        from hierslam_tpu.ops.gather_vjp import compact_rows, pack_cols_table
+
+        sem_w = params["semantic"].shape[1] if (
+            with_semantic and "semantic" in params
+        ) else 0
+        gp = params if gaussians_grad else {
+            k: jax.lax.stop_gradient(v) for k, v in params.items()
+        }
+        # mid-phase prunes take effect IMMEDIATELY (the reference removes
+        # rows from subsequent renders): inactive slots get the sentinel
+        # opacity logit, so they blend to nothing and route no gradient
+        # even while the amortized stream lists still carry them
+        logit = gp["logit_opacities"][:, 0]
+        if active is not None:
+            logit = jnp.where(active, logit, _rs.SENTINEL_LOGIT)
+        cols = (
+            [gp["means3D"][:, i] for i in range(3)]
+            + [gp["log_scales"][:, 0], logit]
+            + [gp["rgb_colors"][:, i] for i in range(3)]
+        )
+        if sem_w:
+            cols += [gp["semantic"][:, i] for i in range(sem_w)]
+        table = pack_cols_table(cols)
+        lists = binning_cache.lists
+        if lists.vis_ids is not None:
+            table = compact_rows(table, lists.vis_ids, lists.rank_of)
+        w2c = transforms.build_w2c(transforms.normalize(cam_quat), cam_trans)
+        if not camera_grad:
+            w2c = jax.lax.stop_gradient(w2c)
+        n_feat = 3 + sem_w
+        ch, ft, med = _rs.render_from_table(
+            table, binning_cache, w2c, camera, raster_cfg, n_feat
+        )
+        return RenderOutput(
+            im=ch[:3],
+            radii=jnp.zeros((table.shape[0],), jnp.int32),
+            depth=ch[-2],
+            median_depth=med,
+            final_opacity=1.0 - ft,
+            mask=ch[-1],
+            semantic=ch[3:3 + sem_w] if sem_w else None,
+            n_dropped=lists.n_dropped,
+            tile_count=lists.count,
+            n_grad_dropped=(
+                jnp.maximum(lists.n_refs - raster_cfg.grad_pair_budget, 0)
+                if raster_cfg.grad_pair_budget
+                else jnp.zeros((), jnp.int32)
+            ),
+        )
+
     vis = getattr(getattr(binning_cache, "lists", None), "vis_ids", None)
     if vis is not None:
         from hierslam_tpu.ops.gather_vjp import compact_rows, pack_cols_table

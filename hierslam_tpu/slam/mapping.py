@@ -148,6 +148,11 @@ def make_mapper(
             "use_gaussian_splatting_densification needs full-N means2D/"
             "radii bookkeeping — set raster.visible_budget=0 with it"
         )
+    if use_classic and raster_cfg.backend == "stream":
+        raise ValueError(
+            "use_gaussian_splatting_densification needs full-N means2D "
+            "bookkeeping — use raster.backend 'pallas' or 'xla' with it"
+        )
     if use_classic:
         from hierslam_tpu.slam.densify_classic import (
             accumulate_mean2d_gradient,
@@ -196,6 +201,17 @@ def make_mapper(
                     sg["means3D"], sg["unnorm_rotations"], q, t_,
                     gaussians_grad=False, camera_grad=False,
                 )
+                if raster_cfg.backend == "stream":
+                    from hierslam_tpu.ops.render_stream import (
+                        compute_stream_binning as _csb,
+                    )
+
+                    return _csb(
+                        means_cam, scales0, sg["unnorm_rotations"], camera,
+                        raster_cfg, active=variables_now["active"],
+                        margin_px=bin_margin_px, opacities=opac0,
+                        compact=compacted,
+                    )
                 return _cb(
                     means_cam, scales0, sg["unnorm_rotations"], camera,
                     raster_cfg, active=variables_now["active"],

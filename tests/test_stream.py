@@ -1,0 +1,303 @@
+"""Stream-renderer parity: ragged raw-attribute blend vs the XLA golden
+path, forward AND hand-written backward chain (render_stream.py)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hierslam_tpu.core import transforms
+from hierslam_tpu.core.camera import intrinsics_matrix, setup_camera
+from hierslam_tpu.ops import binning
+from hierslam_tpu.ops.gather_vjp import pack_cols_table
+from hierslam_tpu.ops.rasterize import RasterConfig, rasterize
+from hierslam_tpu.ops.render_stream import (
+    compute_stream_binning,
+    render_from_table,
+)
+
+from golden import make_scene
+
+
+def _scene(sem=0, seed=0, n=120, W=40, H=24):
+    scene, cam = make_scene(n=n, seed=seed, W=W, H=H, sem=sem)
+    # identity-w2c camera + explicit pose, as the SLAM path renders
+    K = intrinsics_matrix(cam["fx"], cam["fy"], cam["cx"], cam["cy"])
+    camera = setup_camera(cam["W"], cam["H"], K, np.eye(4))
+    q = transforms.matrix_to_quaternion(jnp.asarray(cam["w2c"][:3, :3]))
+    t = jnp.asarray(cam["w2c"][:3, 3])
+    params = dict(
+        means3D=jnp.asarray(scene["means3D"], jnp.float32),
+        rgb_colors=jnp.asarray(scene["colors"], jnp.float32),
+        logit_opacities=jnp.asarray(
+            np.log(scene["opacities"] / (1 - scene["opacities"]))[:, None],
+            jnp.float32,
+        ),
+        log_scales=jnp.asarray(
+            np.log(scene["scales"][:, :1]), jnp.float32
+        ),
+        unnorm_rotations=jnp.asarray(scene["rotations"], jnp.float32),
+    )
+    if sem:
+        params["semantic"] = jnp.asarray(scene["semantics"], jnp.float32)
+    return params, camera, q, t
+
+
+def _stream_cols(params, sem):
+    cols = [params["means3D"][:, i] for i in range(3)]
+    cols += [params["log_scales"][:, 0], params["logit_opacities"][:, 0]]
+    cols += [params["rgb_colors"][:, i] for i in range(3)]
+    if sem:
+        cols += [params["semantic"][:, i] for i in range(sem)]
+    return cols
+
+
+def _stream_render(params, camera, q, t, cfg, sem):
+    means_cam, _ = transforms.transform_to_frame(
+        params["means3D"], params["unnorm_rotations"], q, t,
+        gaussians_grad=True, camera_grad=False, transform_rots=False,
+    )
+    sb = compute_stream_binning(
+        means_cam, jnp.exp(params["log_scales"]),
+        params["unnorm_rotations"], camera, cfg,
+        opacities=jax.nn.sigmoid(params["logit_opacities"][:, 0]),
+    )
+    table = pack_cols_table(_stream_cols(params, sem))
+    w2c = transforms.build_w2c(transforms.normalize(q), t)
+    ch, ft, med = render_from_table(table, sb, w2c, camera, cfg, 3 + sem)
+    return ch, ft, med, sb
+
+
+def _ref_render(params, camera, q, t, cfg, sem):
+    means_cam, _ = transforms.transform_to_frame(
+        params["means3D"], params["unnorm_rotations"], q, t,
+        gaussians_grad=True, camera_grad=False, transform_rots=False,
+    )
+    return rasterize(
+        means_cam, params["rgb_colors"],
+        jax.nn.sigmoid(params["logit_opacities"][:, 0]),
+        jnp.exp(jnp.tile(params["log_scales"], (1, 3))),
+        transforms.normalize(params["unnorm_rotations"]),
+        camera,
+        semantics=params.get("semantic") if sem else None,
+        config=cfg,
+    )
+
+
+XLA_CFG = RasterConfig(max_per_tile=256, gaussian_chunk=64, backend="xla")
+
+
+@pytest.mark.parametrize("sem", [0, 5])
+def test_stream_forward_matches_xla(sem):
+    params, camera, q, t = _scene(sem=sem)
+    cfg = RasterConfig(max_per_tile=256, gaussian_chunk=64,
+                       backend="stream", stream_cap=256)
+    ch, ft, med, sb = _stream_render(params, camera, q, t, cfg, sem)
+    ref = _ref_render(params, camera, q, t, XLA_CFG, sem)
+    assert int(sb.lists.n_dropped) == 0
+    np.testing.assert_allclose(np.asarray(ch[:3]), np.asarray(ref.im),
+                               atol=3e-4)
+    np.testing.assert_allclose(np.asarray(ch[-2]), np.asarray(ref.depth),
+                               atol=3e-3)
+    np.testing.assert_allclose(np.asarray(ch[-1]), np.asarray(ref.mask),
+                               atol=3e-4)
+    np.testing.assert_allclose(np.asarray(med),
+                               np.asarray(ref.median_depth), atol=3e-3)
+    np.testing.assert_allclose(np.asarray(1.0 - ft),
+                               np.asarray(ref.final_opacity), atol=3e-4)
+    if sem:
+        np.testing.assert_allclose(np.asarray(ch[3:3 + sem]),
+                                   np.asarray(ref.semantic), atol=3e-3)
+
+
+@pytest.mark.parametrize("sem", [0, 5])
+def test_stream_gradients_match_xla(sem):
+    params, camera, q, t = _scene(sem=sem)
+    cfg = RasterConfig(max_per_tile=256, gaussian_chunk=64,
+                       backend="stream", stream_cap=256)
+    key = jax.random.PRNGKey(3)
+    n_ch = 3 + sem + 2
+    H, W = camera.height, camera.width
+    gw = jax.random.normal(key, (n_ch, H, W)) * 0.1
+    gw_ft = jax.random.normal(jax.random.fold_in(key, 1), (H, W)) * 0.1
+    gw_med = jax.random.normal(jax.random.fold_in(key, 2), (H, W)) * 0.01
+
+    grad_keys = ["means3D", "log_scales", "logit_opacities", "rgb_colors"]
+    if sem:
+        grad_keys.append("semantic")
+
+    def loss_stream(p):
+        ch, ft, med, _ = _stream_render(p, camera, q, t, cfg, sem)
+        # median-depth grads route discretely; exclude pixels at default
+        med_w = jnp.where(med < 14.0, gw_med, 0.0)
+        return (jnp.sum(ch * gw) + jnp.sum(ft * gw_ft)
+                + jnp.sum(med * med_w))
+
+    def loss_ref(p):
+        out = _ref_render(p, camera, q, t, XLA_CFG, sem)
+        ch = [out.im]
+        if sem:
+            ch.append(out.semantic)
+        ch = jnp.concatenate(
+            ch + [out.depth[None], out.mask[None]], axis=0
+        )
+        med_w = jnp.where(out.median_depth < 14.0, gw_med, 0.0)
+        return (jnp.sum(ch * gw) + jnp.sum((1.0 - out.final_opacity) * gw_ft)
+                + jnp.sum(out.median_depth * med_w))
+
+    gs = jax.grad(lambda p: loss_stream({**params, **p}))(
+        {k: params[k] for k in grad_keys}
+    )
+    gr = jax.grad(lambda p: loss_ref({**params, **p}))(
+        {k: params[k] for k in grad_keys}
+    )
+    for k in grad_keys:
+        a, b = np.asarray(gs[k]), np.asarray(gr[k])
+        scale = max(1e-3, float(np.abs(b).max()))
+        np.testing.assert_allclose(a, b, atol=2e-3 * scale, err_msg=k)
+
+
+def test_waterfill_budget_and_overflow_accounting():
+    params, camera, q, t = _scene(sem=0, n=400)
+    means_cam, _ = transforms.transform_to_frame(
+        params["means3D"], params["unnorm_rotations"], q, t,
+        gaussians_grad=False, camera_grad=False, transform_rots=False,
+    )
+    cfg_tight = RasterConfig(backend="stream", stream_cap=256,
+                             stream_rows=4)
+    sb = compute_stream_binning(
+        means_cam, jnp.exp(params["log_scales"]),
+        params["unnorm_rotations"], camera, cfg_tight,
+    )
+    L = sb.lists
+    # static shape honors the budget; accounting is exact
+    assert L.idx.shape[0] == 4
+    assert int(L.n_rows) <= 4
+    assert int(L.n_refs) + int(L.n_dropped) + int(L.n_sat_masked) == int(
+        jnp.sum(L.count)
+    )
+    # a generous budget AND per-tile cap drop nothing
+    cfg_loose = RasterConfig(backend="stream", stream_cap=1024)
+    sb2 = compute_stream_binning(
+        means_cam, jnp.exp(params["log_scales"]),
+        params["unnorm_rotations"], camera, cfg_loose,
+    )
+    assert int(sb2.lists.n_dropped) == 0
+    assert int(sb2.lists.n_refs) == int(jnp.sum(sb2.lists.count))
+
+
+def test_mapping_stream_matches_pallas():
+    """The streamed mapper must reproduce the class-ladder mapper: same
+    per-iteration losses and final params up to fp summation order (the
+    per-tile blend order is identical — both derive from the same
+    (tile, depth, id) sort)."""
+    from dataclasses import replace as dc_replace
+
+    from hierslam_tpu.core import gaussians as G
+    from hierslam_tpu.slam.losses import LossConfig, render_gaussians
+    from hierslam_tpu.slam.mapping import PruneConfig, make_mapper
+
+    camera = setup_camera(
+        64, 48, intrinsics_matrix(40.0, 40.0, 32.0, 24.0), np.eye(4)
+    )
+    key = jax.random.PRNGKey(1)
+    n = 600
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    gt = dict(
+        means3D=jnp.concatenate(
+            [jax.random.uniform(k1, (n, 2), minval=-2.2, maxval=2.2),
+             jax.random.uniform(k2, (n, 1), minval=2.0, maxval=6.0)], -1
+        ),
+        rgb_colors=jax.random.uniform(k3, (n, 3)),
+        unnorm_rotations=jnp.tile(
+            jnp.asarray([1.0, 0, 0, 0]), (n, 1)
+        ),
+        logit_opacities=jnp.full((n, 1), 2.0),
+        log_scales=jnp.log(
+            jax.random.uniform(k4, (n, 1), minval=0.05, maxval=0.15)
+        ),
+    )
+    rc_pallas = RasterConfig(max_per_tile=256, gaussian_chunk=64,
+                             tile_batch=4)
+    out = render_gaussians(
+        gt, jnp.ones((n,), bool), jnp.array([1.0, 0, 0, 0]), jnp.zeros(3),
+        camera, rc_pallas, with_semantic=False, gaussians_grad=False,
+        camera_grad=False,
+    )
+    n_cap = 1024
+    params = G.empty_params(n_cap, 4)
+    variables = G.empty_variables(n_cap)
+    fields = dict(gt)
+    fields["rgb_colors"] = jnp.clip(
+        gt["rgb_colors"] + 0.3 * jax.random.normal(key, (n, 3)), 0, 1
+    )
+    params, variables, _ = G.insert_gaussians(
+        params, variables, fields, jnp.ones((n,), bool), 0.0
+    )
+    variables["scene_radius"] = jnp.asarray(3.0)
+    cfg = LossConfig(use_sil_for_loss=False, sil_thres=0.5, w_im=0.5,
+                     w_depth=1.0)
+    lrs = {
+        "means3D": 1e-4, "rgb_colors": 2.5e-3, "unnorm_rotations": 1e-3,
+        "logit_opacities": 0.05, "log_scales": 1e-3,
+    }
+    window = {
+        "im": out.im[None], "depth": out.depth[None],
+        "time_idx": jnp.zeros((1,), jnp.int32),
+    }
+    rand_idx = jnp.zeros((10,), jnp.int32)
+
+    def run(rc):
+        mapper = make_mapper(camera, cfg, rc, lrs, num_iters=10,
+                             prune_cfg=PruneConfig())
+        p2, _, _, _, losses = mapper(
+            params, variables, window, rand_idx, None, None
+        )
+        return p2, losses["loss"]
+
+    p_ref, l_ref = run(rc_pallas)
+    rc_stream = dc_replace(rc_pallas, backend="stream", stream_cap=256)
+    p_s, l_s = run(rc_stream)
+    # iteration 0 = pure forward parity (same params): near-exact.  Later
+    # iterations drift at fp level only (e.g. the stream kernel computes
+    # T_before as Ta/(1-a) where the class kernel exponentiates; ~1 ulp
+    # per pair, amplified through Adam's v-normalized steps).
+    np.testing.assert_allclose(float(l_s[0]), float(l_ref[0]), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(l_s), np.asarray(l_ref),
+                               rtol=1e-2)
+    assert float(l_s[-1]) < float(l_s[0])
+    # a few pairs sit on the discrete committed (T >= 1e-4) cutoff where a
+    # 1-ulp transmittance difference flips inclusion — gradients are
+    # discontinuous there by construction (the CUDA early-stop has the same
+    # property), so compare the parameter trajectories by quantile
+    for k in ("means3D", "rgb_colors"):
+        diff = np.abs(np.asarray(p_s[k]) - np.asarray(p_ref[k]))
+        assert np.quantile(diff, 0.99) < 2e-3, (k, np.quantile(diff, 0.99))
+        assert diff.max() < 0.05, (k, diff.max())
+    # compacted stream (visible budget) also converges and matches
+    rc_sc = dc_replace(rc_stream, visible_budget=n_cap)
+    p_c, l_c = run(rc_sc)
+    np.testing.assert_allclose(float(l_c[0]), float(l_ref[0]), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(l_c), np.asarray(l_ref),
+                               rtol=1e-2)
+
+
+def test_stream_rows_grouped_by_tile():
+    params, camera, q, t = _scene(sem=0, n=200)
+    means_cam, _ = transforms.transform_to_frame(
+        params["means3D"], params["unnorm_rotations"], q, t,
+        gaussians_grad=False, camera_grad=False, transform_rots=False,
+    )
+    cfg = RasterConfig(backend="stream", stream_cap=256)
+    sb = compute_stream_binning(
+        means_cam, jnp.exp(params["log_scales"]),
+        params["unnorm_rotations"], camera, cfg,
+    )
+    L = sb.lists
+    row_off = np.asarray(L.row_off)
+    idx = np.asarray(L.idx)
+    counts = np.asarray(L.count)
+    n = params["means3D"].shape[0]
+    for tt in range(row_off.shape[0] - 1):
+        rows = idx[row_off[tt]:row_off[tt + 1]].reshape(-1)
+        kept = rows[rows < n]
+        assert kept.shape[0] == min(counts[tt], int(np.asarray(L.k_alloc)[tt]))

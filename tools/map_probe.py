@@ -57,6 +57,9 @@ rc = RasterConfig(
     sat_margin=float(os.environ.get("PROBE_SAT_MARGIN", "0")),
     sat_floor=int(os.environ.get("PROBE_SAT_FLOOR", "128")),
     visible_budget=int(os.environ.get("PROBE_VIS", "0")),
+    backend=os.environ.get("PROBE_BACKEND", "pallas"),
+    stream_rows=int(os.environ.get("PROBE_STREAM_ROWS", "0")),
+    stream_cap=int(os.environ.get("PROBE_STREAM_CAP", "4096")),
 )
 
 out = render_gaussians(params, variables["active"], jnp.array([1.0, 0, 0, 0]),
@@ -66,7 +69,21 @@ im_gt = jnp.clip(out.im, 0, 1)
 depth_gt = out.depth
 print("render ok, dropped", int(out.n_dropped), "maxtile", int(out.tile_count.max()), flush=True)
 
-if rc.sat_margin > 0 or rc.bucket_spec:
+if rc.backend == "stream":
+    from hierslam_tpu.ops.render_stream import compute_stream_binning as _csb
+
+    _sl = jax.jit(lambda: _csb(
+        params["means3D"], jnp.exp(params["log_scales"]),
+        params["unnorm_rotations"], camera, rc,
+        opacities=jax.nn.sigmoid(params["logit_opacities"][:, 0]),
+        compact=rc.visible_budget > 0,
+    ).lists)()
+    ke = np.asarray(_sl.k_eff)
+    print("stream k_eff quantiles", np.percentile(ke, [50, 90, 99, 100]).astype(int),
+          "rows", int(_sl.n_rows), "/", _sl.idx.shape[0],
+          "refs", int(_sl.n_refs), "sat_masked", int(_sl.n_sat_masked),
+          "dropped", int(_sl.n_dropped), flush=True)
+elif rc.sat_margin > 0 or rc.bucket_spec:
     from hierslam_tpu.ops.rasterize import compute_binning as _cbp
 
     _bl = jax.jit(lambda: _cbp(
