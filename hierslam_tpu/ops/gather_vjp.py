@@ -49,8 +49,15 @@ def pad_cols_for_gather(x: jax.Array) -> jax.Array:
     return jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
 
 
-def pack_cols_table(cols) -> jax.Array:
+def pack_cols_table(cols, width_mult: int = LANE) -> jax.Array:
     """Assemble 1-D [N] columns into a lane-aligned [N, 128·k] gather table.
+
+    ``width_mult`` overrides the 128-lane padding: the packed-table mapping
+    scan keeps its table (and Adam moments, and the scan's double buffers
+    of both) at the USED width padded to a sublane multiple (8) instead —
+    at N=2M the 94 dead f32 columns otherwise cost ~6 GB of HBM across
+    those buffers.  :func:`aligned_gather_rows` re-pads to 128 lanes
+    transiently whenever such a table feeds a row gather.
 
     A 2-D f32 array tiles as T(8, 128): any materialized [N, c<128]
     intermediate pads its minor dim to 128 lanes (a [1.5M, 2] xy costs
@@ -66,7 +73,7 @@ def pack_cols_table(cols) -> jax.Array:
     """
     n = cols[0].shape[0]
     ncol = len(cols)
-    width = -(-ncol // LANE) * LANE
+    width = -(-ncol // width_mult) * width_mult
     pieces = [c.astype(jnp.float32).reshape(-1) for c in cols]
     if width > ncol:
         pieces.append(jnp.zeros(((width - ncol) * n,), jnp.float32))

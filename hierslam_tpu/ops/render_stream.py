@@ -19,8 +19,9 @@ that machinery structurally:
   need instead of a padded capacity-class ladder, and each tile's outputs
   are written directly at its tile id — no strip assembly;
 * the backward kernel re-derives the suffix-sum gradients
-  (backward.cu:472-899) in ONE back-to-front pass per tile using per-row
-  entry transmittances saved by its own forward sweep, and chains them all
+  (backward.cu:472-899) in ONE back-to-front pass per tile seeded by the
+  forward kernel's saved exit log-transmittance (row-entry values are
+  reconstructed algebraically from it), and chains them all
   the way to the RAW attributes (the ``computeCov2DCUDA`` +
   ``preprocessCUDA`` chain, backward.cu:144-412) — cotangents leave in the
   same [rows, 128, C] stream layout and route through the scatter-free
@@ -241,7 +242,7 @@ def _feats_row(tab_t, dep, n_feat):
 
 
 def _fwd_kernel(row_off_ref, sc_ref, tab_hbm, acc_ref, ft_ref, med_ref,
-                tab_vmem, dma_sems, *, tile_shape, grid_x, n_feat,
+                lte_ref, tab_vmem, dma_sems, *, tile_shape, grid_x, n_feat,
                 img_w, img_h, interpret):
     th, tw = tile_shape
     P = th * tw
@@ -275,7 +276,10 @@ def _fwd_kernel(row_off_ref, sc_ref, tab_hbm, acc_ref, ft_ref, med_ref,
         get_dma(slot, ci).wait()
         for j in range(CH):
             row_ok = (ci * CH + j) < nr
-            tab_t = tab_vmem[slot, j].T                    # [C, Q]
+            # columns-first stream: a row slice already IS [C, Q] — no
+            # per-row 128x128 in-kernel transpose (which dominated the
+            # row-major layout's runtime)
+            tab_t = tab_vmem[slot, j]                      # [C, Q]
             pr = _project_row(tab_t, sc_ref, tile_x, tile_y, row_ok,
                               tile_shape=tile_shape)
             sq_ = _screen_quantities(pr, img_w=img_w, img_h=img_h,
@@ -318,12 +322,17 @@ def _fwd_kernel(row_off_ref, sc_ref, tab_hbm, acc_ref, ft_ref, med_ref,
     med_ref[0, 0] = jnp.where(
         med_found[:, 0] > 0.0, med_sum[:, 0], MEDIAN_DEFAULT
     )
+    # residuals for the backward: per-pixel exit log-transmittance (the
+    # back-to-front sweep reconstructs row-entry values from it) and, via
+    # ft_ref above, the final committed T — so the backward needs no
+    # forward re-sweep (pass A) of its own
+    lte_ref[0, 0] = logT[:, 0]
 
 
 def _bwd_kernel(row_off_ref, sc_ref, tab_hbm, gacc_ref, gft_ref, gmed_ref,
-                dtab_zeros, dtab_hbm, tab_all, dtab_row, in_sem,
-                out_sem, *, tile_shape, grid_x, n_feat, img_w, img_h, mrt,
-                interpret):
+                lte_ref, tfin_ref, dtab_zeros, dtab_hbm, tab_all, dtab_row,
+                in_sem, out_sem, *, tile_shape, grid_x, n_feat, img_w,
+                img_h, mrt, interpret):
     # dtab_zeros is aliased to dtab_hbm (input_output_aliases): the output
     # buffer starts zeroed, so stream pad rows no tile writes (everything
     # past row_off[T]) carry exact zero cotangents instead of uninitialized
@@ -352,31 +361,13 @@ def _bwd_kernel(row_off_ref, sc_ref, tab_hbm, gacc_ref, gft_ref, gmed_ref,
 
     jax.lax.fori_loop(0, nch, load_body, 0)
 
-    # ---- pass A: final T + exit log-transmittance -----------------------
-    # (entry transmittances are NOT stored: Mosaic forbids dynamic lane-
-    # column stores, and pass B can reconstruct each row's entry logT from
-    # the carried exit value minus the row's own log1p(-a) sum, which it
-    # recomputes anyway)
-    def passA(j, carry):
-        logT, Tfin = carry
-        row_ok = j < nr
-        tab_t = tab_all[j].T
-        pr = _project_row(tab_t, sc_ref, tile_x, tile_y, row_ok,
-                          tile_shape=tile_shape)
-        sq_ = _screen_quantities(pr, img_w=img_w, img_h=img_h,
-                                 tile_shape=tile_shape)
-        (_, _, _, _, _, _, Ta, _, committed, _, logT) = _blend_row(
-            sq_, pr["mcz"], logT, px, py
-        )
-        Tfin = jnp.minimum(
-            Tfin, jnp.min(jnp.where(committed, Ta, 1.0), -1, keepdims=True)
-        )
-        return logT, Tfin
-
-    logT0 = jnp.zeros((P, 1), jnp.float32)
-    logT_exit, T_final = jax.lax.fori_loop(
-        0, nr, passA, (logT0, jnp.ones((P, 1), jnp.float32))
-    )
+    # residuals saved by the forward kernel: no forward re-sweep needed.
+    # (Entry transmittances are NOT stored per row: Mosaic forbids dynamic
+    # lane-column stores, and pass B reconstructs each row's entry logT
+    # from the carried exit value minus the row's own log1p(-a) sum, which
+    # it recomputes anyway.)
+    logT_exit = lte_ref[0, 0][:, None]  # [P, 1]
+    T_final = tfin_ref[0, 0][:, None]   # [P, 1]
 
     gacc = gacc_ref[0]                 # [P, F+2]
     gft = gft_ref[0, 0][:, None]       # [P, 1]
@@ -387,7 +378,7 @@ def _bwd_kernel(row_off_ref, sc_ref, tab_hbm, gacc_ref, gft_ref, gmed_ref,
         S_carry, logT_after = carry
         j = nr - 1 - jj
         row_ok = j < nr
-        tab_t = tab_all[j].T
+        tab_t = tab_all[j]                                 # [C, Q]
         pr = _project_row(tab_t, sc_ref, tile_x, tile_y, row_ok,
                           tile_shape=tile_shape)
         sq_ = _screen_quantities(pr, img_w=img_w, img_h=img_h,
@@ -487,12 +478,13 @@ def _bwd_kernel(row_off_ref, sc_ref, tab_hbm, gacc_ref, gft_ref, gmed_ref,
         opa = sq_["opa"]
         g_logit = d_opa * opa * (1.0 - opa)
 
-        # ---- assemble dtab row [C, Q] -> [Q, C] and DMA out -------------
+        # ---- assemble dtab row [C, Q] (native layout) and DMA out -------
         rows = [g_mwx, g_mwy, g_mwz, g_logs, g_logit]
         rows += [dfeats[i:i + 1] for i in range(n_feat)]
         used = jnp.concatenate(rows, axis=0)               # [5+F, Q]
-        full_c = jnp.pad(used, ((0, tab_t.shape[0] - used.shape[0]), (0, 0)))
-        dtab_row[:] = full_c.T                             # [Q, C]
+        dtab_row[:] = jnp.pad(
+            used, ((0, tab_t.shape[0] - used.shape[0]), (0, 0))
+        )
         dma = pltpu.make_async_copy(
             dtab_row, dtab_hbm.at[r0 + j], out_sem
         )
@@ -507,7 +499,7 @@ def _bwd_kernel(row_off_ref, sc_ref, tab_hbm, gacc_ref, gft_ref, gmed_ref,
 
 def _run_fwd(tab, scalars, row_off, grid, tile_shape, n_feat, img_shape,
              interpret):
-    R, rw, Cp = tab.shape
+    R, Cp, rw = tab.shape
     grid_y, grid_x = grid
     T = grid_y * grid_x
     th, tw = tile_shape
@@ -532,17 +524,20 @@ def _run_fwd(tab, scalars, row_off, grid, tile_shape, n_feat, img_shape,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, P), lambda t, ro: (t, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, P), lambda t, ro: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, CH, rw, Cp), jnp.float32),
+            pltpu.VMEM((2, CH, Cp, rw), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    acc, ft, med = pl.pallas_call(
+    acc, ft, med, lte = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((T, P, n_feat + 2), jnp.float32),
+            jax.ShapeDtypeStruct((T, 1, P), jnp.float32),
             jax.ShapeDtypeStruct((T, 1, P), jnp.float32),
             jax.ShapeDtypeStruct((T, 1, P), jnp.float32),
         ],
@@ -551,12 +546,12 @@ def _run_fwd(tab, scalars, row_off, grid, tile_shape, n_feat, img_shape,
         ),
         interpret=interpret,
     )(row_off, scalars, tab_p)
-    return acc, ft[:, 0], med[:, 0]
+    return acc, ft[:, 0], med[:, 0], lte[:, 0]
 
 
-def _run_bwd(tab, scalars, row_off, gacc, gft, gmed, grid, tile_shape,
-             n_feat, img_shape, k_cap, interpret):
-    R, rw, Cp = tab.shape
+def _run_bwd(tab, scalars, row_off, gacc, gft, gmed, lte, tfin, grid,
+             tile_shape, n_feat, img_shape, k_cap, interpret):
+    R, Cp, rw = tab.shape
     grid_y, grid_x = grid
     T = grid_y * grid_x
     th, tw = tile_shape
@@ -582,61 +577,71 @@ def _run_bwd(tab, scalars, row_off, gacc, gft, gmed, grid, tile_shape,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, P), lambda t, ro: (t, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, P), lambda t, ro: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, P), lambda t, ro: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         scratch_shapes=[
-            pltpu.VMEM((mrt_pad, rw, Cp), jnp.float32),
-            pltpu.VMEM((rw, Cp), jnp.float32),
+            pltpu.VMEM((mrt_pad, Cp, rw), jnp.float32),
+            pltpu.VMEM((Cp, rw), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
-    zeros_dtab = jnp.zeros((R + mrt_pad, rw, Cp), jnp.float32)
+    zeros_dtab = jnp.zeros((R + mrt_pad, Cp, rw), jnp.float32)
     dtab = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((R + mrt_pad, rw, Cp), jnp.float32),
+            jax.ShapeDtypeStruct((R + mrt_pad, Cp, rw), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
             has_side_effects=True,
         ),
-        # aliased: the 6th operand (after the scalar-prefetch arg) IS the
+        # aliased: the 8th operand (after the scalar-prefetch arg) IS the
         # output buffer -> pad rows start as exact zeros
-        input_output_aliases={6: 0},
+        input_output_aliases={8: 0},
         interpret=interpret,
     )(row_off, scalars, tab_p, gacc, gft[:, None, :], gmed[:, None, :],
-      zeros_dtab)[0]
+      lte[:, None, :], tfin[:, None, :], zeros_dtab)[0]
     return dtab[:R]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
 def blend_stream(tab, scalars, row_off, grid, tile_shape, n_feat,
                  img_shape, k_cap, interpret=False):
-    """Streamed ragged blend.  tab [R, 128, Cp] raw-attribute pairs
-    (STREAM_COLS layout), scalars (1, 32) from :func:`make_scalars`,
-    row_off [T+1] -> (acc [T, P, F+2], final_T [T, P], med [T, P])."""
+    """Streamed ragged blend.  tab [R, Cp, 128] columns-first raw-attribute
+    rows (STREAM_COLS layout on the Cp axis — a row slice is directly the
+    [C, Q] the in-kernel projection consumes, and Cp carries only the USED
+    columns padded to a sublane multiple, not the gather table's 128-lane
+    width), scalars (1, 32) from :func:`make_scalars`, row_off [T+1]
+    -> (acc [T, P, F+2], final_T [T, P], med [T, P])."""
     return tuple(_run_fwd(tab, scalars, row_off, grid, tile_shape, n_feat,
-                          img_shape, interpret))
+                          img_shape, interpret))[:3]
 
 
 def _blend_stream_fwd(tab, scalars, row_off, grid, tile_shape, n_feat,
                       img_shape, k_cap, interpret):
-    out = _run_fwd(tab, scalars, row_off, grid, tile_shape, n_feat,
-                   img_shape, interpret)
-    return tuple(out), (tab, scalars, row_off)
+    acc, ft, med, lte = _run_fwd(tab, scalars, row_off, grid, tile_shape,
+                                 n_feat, img_shape, interpret)
+    # ft (final committed T) and lte (exit log-transmittance) double as
+    # backward residuals: the gradient kernel runs only the back-to-front
+    # sweep, no forward re-sweep
+    return (acc, ft, med), (tab, scalars, row_off, ft, lte)
 
 
 def _blend_stream_bwd(grid, tile_shape, n_feat, img_shape, k_cap, interpret,
                       res, cots):
-    tab, scalars, row_off = res
+    tab, scalars, row_off, tfin, lte = res
     gacc, gft, gmed = cots
-    dtab = _run_bwd(tab, scalars, row_off, gacc, gft, gmed, grid,
-                    tile_shape, n_feat, img_shape, k_cap, interpret)
+    dtab = _run_bwd(tab, scalars, row_off, gacc, gft, gmed, lte, tfin,
+                    grid, tile_shape, n_feat, img_shape, k_cap, interpret)
     return dtab, None, None
 
 
@@ -734,10 +739,18 @@ def render_from_table(
         b.inverse.run_masks, config.max_tiles_per_gaussian,
         COL_FEAT + n_feat, config.grad_pair_budget, config.grad_bf16,
     )
+    # columns-first stream: keep only the used columns (sublane-padded) and
+    # swap to [R, Cp, rw] so kernel row slices need no in-kernel transpose.
+    # The slice drops the gather table's 128-lane padding from all stream
+    # HBM buffers (4x at the 26-dim semantic width); its VJP re-pads with
+    # zeros, which the inverse-map routing ignores past n_diff anyway.
+    c_used = COL_FEAT + n_feat
+    cp = -(-c_used // 8) * 8
+    gt_ = jnp.swapaxes(g[..., :cp], 1, 2)
     scalars = make_scalars(jnp.asarray(w2c, jnp.float32), camera)
     proj_h = camera.proj_height or camera.height
     acc, ft, med = blend_stream(
-        g, scalars, b.lists.row_off, grid, config.tile_shape, n_feat,
+        gt_, scalars, b.lists.row_off, grid, config.tile_shape, n_feat,
         (proj_h, W), config.stream_cap, interp,
     )
     return assemble_stream(acc, ft, med, grid, config.tile_shape, (H, W),

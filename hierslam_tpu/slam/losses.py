@@ -95,6 +95,65 @@ def mlp_init(num_semantic: int, num_leaf: int, key: jax.Array) -> Params:
     }
 
 
+def render_packed_stream(
+    table, active, binning_cache, cam_quat, cam_trans, camera, raster_cfg,
+    n_feat: int,
+):
+    """Streamed render straight from a packed STREAM_COLS table [N, 128].
+
+    The packed-table mapping scan (slam/mapping.py) keeps this table as THE
+    optimization variable, so per-iteration renders skip the N-row column
+    pack + its VJP entirely — the single largest cost of the class-ladder
+    mapping iteration at N=2M (BREAKDOWN_r04.md: ~177 ms/iter).
+    Differentiable w.r.t. ``table``; the pose is nondifferentiable (the
+    stream kernel takes it as a scalar input).
+    """
+    from hierslam_tpu.ops import render_stream as _rs
+    from hierslam_tpu.ops.gather_vjp import compact_rows
+
+    lists = binning_cache.lists
+    if lists.vis_ids is not None:
+        table = compact_rows(table, lists.vis_ids, lists.rank_of)
+        act = active[lists.vis_ids] if active is not None else None
+    else:
+        act = active
+    if act is not None:
+        # mid-phase prunes take effect IMMEDIATELY (the reference removes
+        # rows from subsequent renders): inactive slots get the sentinel
+        # opacity logit, so they blend to nothing and route no gradient
+        # even while the amortized stream lists still carry them
+        col_is_logit = (
+            jax.lax.broadcasted_iota(jnp.int32, table.shape, 1)
+            == _rs.COL_LOGIT
+        )
+        table = jnp.where(
+            (~act)[:, None] & col_is_logit, _rs.SENTINEL_LOGIT, table
+        )
+    w2c = jax.lax.stop_gradient(
+        transforms.build_w2c(transforms.normalize(cam_quat), cam_trans)
+    )
+    ch, ft, med = _rs.render_from_table(
+        table, binning_cache, w2c, camera, raster_cfg, n_feat
+    )
+    sem_w = n_feat - 3
+    return RenderOutput(
+        im=ch[:3],
+        radii=jnp.zeros((table.shape[0],), jnp.int32),
+        depth=ch[-2],
+        median_depth=med,
+        final_opacity=1.0 - ft,
+        mask=ch[-1],
+        semantic=ch[3:3 + sem_w] if sem_w else None,
+        n_dropped=lists.n_dropped,
+        tile_count=lists.count,
+        n_grad_dropped=(
+            jnp.maximum(lists.n_refs - raster_cfg.grad_pair_budget, 0)
+            if raster_cfg.grad_pair_budget
+            else jnp.zeros((), jnp.int32)
+        ),
+    )
+
+
 def render_gaussians(
     params: Params,
     active: jax.Array,
@@ -144,54 +203,33 @@ def render_gaussians(
                 "classic densification is incompatible with the stream "
                 "backend (needs full-N means2D bookkeeping)"
             )
-        from hierslam_tpu.ops.gather_vjp import compact_rows, pack_cols_table
+        from hierslam_tpu.ops.gather_vjp import pack_cols_table
 
         sem_w = params["semantic"].shape[1] if (
             with_semantic and "semantic" in params
         ) else 0
+        if camera_grad:
+            # blend_stream's VJP routes cotangents to the attribute table
+            # only (pose rides as a nondifferentiable scalar input) —
+            # silently-zero pose gradients would corrupt tracking
+            raise NotImplementedError(
+                "stream backend does not provide camera gradients; "
+                "tracking uses the render_tracked path"
+            )
         gp = params if gaussians_grad else {
             k: jax.lax.stop_gradient(v) for k, v in params.items()
         }
-        # mid-phase prunes take effect IMMEDIATELY (the reference removes
-        # rows from subsequent renders): inactive slots get the sentinel
-        # opacity logit, so they blend to nothing and route no gradient
-        # even while the amortized stream lists still carry them
-        logit = gp["logit_opacities"][:, 0]
-        if active is not None:
-            logit = jnp.where(active, logit, _rs.SENTINEL_LOGIT)
         cols = (
             [gp["means3D"][:, i] for i in range(3)]
-            + [gp["log_scales"][:, 0], logit]
+            + [gp["log_scales"][:, 0], gp["logit_opacities"][:, 0]]
             + [gp["rgb_colors"][:, i] for i in range(3)]
         )
         if sem_w:
             cols += [gp["semantic"][:, i] for i in range(sem_w)]
         table = pack_cols_table(cols)
-        lists = binning_cache.lists
-        if lists.vis_ids is not None:
-            table = compact_rows(table, lists.vis_ids, lists.rank_of)
-        w2c = transforms.build_w2c(transforms.normalize(cam_quat), cam_trans)
-        if not camera_grad:
-            w2c = jax.lax.stop_gradient(w2c)
-        n_feat = 3 + sem_w
-        ch, ft, med = _rs.render_from_table(
-            table, binning_cache, w2c, camera, raster_cfg, n_feat
-        )
-        return RenderOutput(
-            im=ch[:3],
-            radii=jnp.zeros((table.shape[0],), jnp.int32),
-            depth=ch[-2],
-            median_depth=med,
-            final_opacity=1.0 - ft,
-            mask=ch[-1],
-            semantic=ch[3:3 + sem_w] if sem_w else None,
-            n_dropped=lists.n_dropped,
-            tile_count=lists.count,
-            n_grad_dropped=(
-                jnp.maximum(lists.n_refs - raster_cfg.grad_pair_budget, 0)
-                if raster_cfg.grad_pair_budget
-                else jnp.zeros((), jnp.int32)
-            ),
+        return render_packed_stream(
+            table, active, binning_cache, cam_quat, cam_trans, camera,
+            raster_cfg, 3 + sem_w,
         )
 
     vis = getattr(getattr(binning_cache, "lists", None), "vis_ids", None)

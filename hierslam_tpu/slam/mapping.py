@@ -16,6 +16,7 @@ Mirrors the mapping phase of scripts/hierslam.py:1929-2104:
 from __future__ import annotations
 
 import functools
+import os
 from dataclasses import dataclass
 from typing import Dict, Optional, Tuple
 
@@ -159,6 +160,16 @@ def make_mapper(
             densify_step,
         )
 
+    # The stream backend optimizes THE PACKED STREAM_COLS TABLE [N, 128]
+    # directly (per-column Adam lrs): packing/unpacking the parameter
+    # columns happens once per phase instead of once per iteration, which
+    # was the single largest mapping cost at N=2M (BREAKDOWN_r04.md:
+    # pack_cols_table fwd+VJP ~177 ms/iter).  Rotations are not packed —
+    # isotropic covariance is rotation-invariant, so stream rendering
+    # produces no rotation gradient (they stay constant, exactly as the
+    # dict-space stream path behaved).
+    use_packed = raster_cfg.backend == "stream"
+
     @jax.jit
     def map_phase(
         params: Params,
@@ -170,7 +181,56 @@ def make_mapper(
         key: Optional[jax.Array] = None,
     ):
         gauss_keys = [k for k in G.GAUSSIAN_KEYS if k in params]
-        gp = {k: params[k] for k in gauss_keys}
+        if use_packed:
+            from hierslam_tpu.ops import render_stream as _rs
+            from hierslam_tpu.ops.gather_vjp import pack_cols_table
+            from hierslam_tpu.slam.losses import render_packed_stream
+
+            if params["log_scales"].shape[1] != 1:
+                raise NotImplementedError(
+                    "stream backend supports isotropic maps only"
+                )
+            sem_w = params["semantic"].shape[1] if (
+                with_sem and "semantic" in params
+            ) else 0
+            n_feat = 3 + sem_w
+            cols = (
+                [params["means3D"][:, i] for i in range(3)]
+                + [params["log_scales"][:, 0],
+                   params["logit_opacities"][:, 0]]
+                + [params["rgb_colors"][:, i] for i in range(3)]
+            )
+            if sem_w:
+                cols += [params["semantic"][:, i] for i in range(sem_w)]
+            # used-width table (sublane multiple): the table + both Adam
+            # moments + the scan's double buffers stay at 40 cols, not 128
+            # NOTE: width stays at the 128-lane gather width.  A narrower
+            # used-width table (width_mult=8 -> 40 cols) saves ~4 GB of
+            # table+moment+carry HBM and measured ~35 ms/iter, but at
+            # N=2M WITH visible-rank compaction it reliably crashes the
+            # TPU worker mid-phase (isolated empirically: width 128 runs,
+            # width 40 + visible_budget crashes, width 40 without
+            # compaction runs; the same composition in tools/stream_stress
+            # does not reproduce it).  Suspected runtime/Mosaic fault, not
+            # program semantics — tracked for a future round.
+            gp = {"table": pack_cols_table(
+                cols, width_mult=int(os.environ.get("HS_PACK_MULT", "128"))
+            )}
+            import numpy as _np
+
+            lr_vec = _np.zeros((gp["table"].shape[1],), _np.float32)
+            lr_vec[0:3] = lrs["means3D"]
+            lr_vec[_rs.COL_LOGS] = lrs["log_scales"]
+            lr_vec[_rs.COL_LOGIT] = lrs["logit_opacities"]
+            lr_vec[_rs.COL_FEAT:_rs.COL_FEAT + 3] = lrs["rgb_colors"]
+            if sem_w:
+                lr_vec[_rs.COL_FEAT + 3:_rs.COL_FEAT + 3 + sem_w] = (
+                    lrs["semantic"]
+                )
+            lrs_eff = {"table": jnp.asarray(lr_vec)}
+        else:
+            gp = {k: params[k] for k in gauss_keys}
+            lrs_eff = lrs
         opt = optim.adam_init(gp)
 
         # Window poses are fixed during mapping (camera lrs are zero in the
@@ -191,7 +251,18 @@ def make_mapper(
         from hierslam_tpu.ops.rasterize import compute_binning as _cb
 
         def bin_window(gp_now, variables_now):
-            sg = jax.lax.stop_gradient(gp_now)
+            if use_packed:
+                # the stream mapper has exactly ONE scan segment (classic
+                # densify is disallowed), so binning always happens at
+                # phase start where the packed table still equals the
+                # incoming params — bin straight from them
+                sg = jax.lax.stop_gradient(
+                    {k: params[k] for k in (
+                        "means3D", "log_scales", "logit_opacities",
+                        "unnorm_rotations")}
+                )
+            else:
+                sg = jax.lax.stop_gradient(gp_now)
             scales0 = jnp.exp(sg["log_scales"])
             opac0 = jax.nn.sigmoid(sg["logit_opacities"])
 
@@ -235,17 +306,24 @@ def make_mapper(
             q, t = wq[k], wt[k]
             gt_ssim = jax.tree_util.tree_map(lambda x: x[k], w_ssim)
             bc = jax.tree_util.tree_map(lambda x: x[k], binnings)
-            m2d0 = jnp.zeros((gp["means3D"].shape[0], 2), jnp.float32)
+            n_slots = params["means3D"].shape[0]
+            m2d0 = jnp.zeros((n_slots, 2), jnp.float32)
 
             def loss_fn(gp_, mlp_, m2d_):
-                full = dict(params)
-                full.update(gp_)
-                out = render_gaussians(
-                    full, variables["active"], q, t, camera, raster_cfg,
-                    with_semantic=with_sem, gaussians_grad=True, camera_grad=False,
-                    binning_cache=bc,
-                    means2D_offset=m2d_ if use_classic else None,
-                )
+                if use_packed:
+                    out = render_packed_stream(
+                        gp_["table"], variables["active"], bc, q, t,
+                        camera, raster_cfg, n_feat,
+                    )
+                else:
+                    full = dict(params)
+                    full.update(gp_)
+                    out = render_gaussians(
+                        full, variables["active"], q, t, camera, raster_cfg,
+                        with_semantic=with_sem, gaussians_grad=True,
+                        camera_grad=False, binning_cache=bc,
+                        means2D_offset=m2d_ if use_classic else None,
+                    )
                 loss, parts = mapping_loss(
                     out, im_gt, depth_gt, labels, mlp_, it, loss_cfg,
                     gt_ssim=gt_ssim,
@@ -292,10 +370,16 @@ def make_mapper(
                 prune_cfg.final_removal_opacity_threshold,
                 prune_cfg.removal_opacity_threshold,
             )
-            small = jax.nn.sigmoid(gp["logit_opacities"][:, 0]) < thresh
+            if use_packed:
+                # columns 3/4 of the packed table ARE log_scale / logit
+                logit_col = gp["table"][:, 4]
+                scale_col = gp["table"][:, 3]
+            else:
+                logit_col = gp["logit_opacities"][:, 0]
+                scale_col = jnp.max(gp["log_scales"], axis=1)
+            small = jax.nn.sigmoid(logit_col) < thresh
             big = (
-                jnp.exp(jnp.max(gp["log_scales"], axis=1))
-                > 0.1 * variables["scene_radius"]
+                jnp.exp(scale_col) > 0.1 * variables["scene_radius"]
             ) & (it >= prune_cfg.remove_big_after)
             removed = do_prune & variables["active"] & (small | big)
             variables = dict(variables)
@@ -310,17 +394,36 @@ def make_mapper(
                 )
                 reset_val = jnp.log(0.01 / 0.99)  # inverse_sigmoid(0.01)
                 gp = dict(gp)
-                gp["logit_opacities"] = jnp.where(
-                    do_reset,
-                    jnp.full_like(gp["logit_opacities"], reset_val),
-                    gp["logit_opacities"],
-                )
-                zeroed = optim.zero_moments_for_key(opt, "logit_opacities")
-                opt = jax.tree_util.tree_map(
-                    lambda a, b: jnp.where(do_reset, b, a), opt, zeroed
-                )
+                if use_packed:
+                    colmask = (
+                        jax.lax.broadcasted_iota(
+                            jnp.int32, gp["table"].shape, 1
+                        ) == 4
+                    )
+                    gp["table"] = jnp.where(
+                        do_reset & colmask, reset_val, gp["table"]
+                    )
+                    opt = optim.AdamState(
+                        mu={"table": jnp.where(
+                            do_reset & colmask, 0.0, opt.mu["table"])},
+                        nu={"table": jnp.where(
+                            do_reset & colmask, 0.0, opt.nu["table"])},
+                        count=opt.count,
+                    )
+                else:
+                    gp["logit_opacities"] = jnp.where(
+                        do_reset,
+                        jnp.full_like(gp["logit_opacities"], reset_val),
+                        gp["logit_opacities"],
+                    )
+                    zeroed = optim.zero_moments_for_key(
+                        opt, "logit_opacities"
+                    )
+                    opt = jax.tree_util.tree_map(
+                        lambda a, b: jnp.where(do_reset, b, a), opt, zeroed
+                    )
 
-            gp, opt = optim.adam_step(gp, ggp, opt, lrs, eps=1e-15)
+            gp, opt = optim.adam_step(gp, ggp, opt, lrs_eff, eps=1e-15)
             if gmlp is not None:
                 mlp, mlp_state = optim.adam_step(
                     mlp, gmlp, mlp_state, {"w": mlp_lr, "b": mlp_lr}, eps=1e-8
@@ -394,7 +497,16 @@ def make_mapper(
                 n_classic_over.astype(jnp.float32), (num_iters,)
             )
         out_params = dict(params)
-        out_params.update(gp)
+        if use_packed:
+            tb = gp["table"]
+            out_params["means3D"] = tb[:, 0:3]
+            out_params["log_scales"] = tb[:, 3:4]
+            out_params["logit_opacities"] = tb[:, 4:5]
+            out_params["rgb_colors"] = tb[:, 5:8]
+            if sem_w:
+                out_params["semantic"] = tb[:, 8:8 + sem_w]
+        else:
+            out_params.update(gp)
         return out_params, variables, mlp, mlp_state, losses
 
     return map_phase

@@ -53,7 +53,9 @@ def adam_step(
         mu = b1 * state.mu[k] + (1 - b1) * g
         nu = b2 * state.nu[k] + (1 - b2) * (g * g)
         new_mu[k], new_nu[k] = mu, nu
-        if lr == 0.0:
+        # lr may be a per-column vector (the packed-table mapping scan uses
+        # one [128] lr row broadcast over [N, 128] tables)
+        if isinstance(lr, (int, float)) and lr == 0.0:
             continue
         update = lr * (mu / bc1) / (jnp.sqrt(nu / bc2) + eps)
         new_p[k] = params[k] - update

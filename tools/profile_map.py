@@ -67,6 +67,9 @@ rc = RasterConfig(
     sat_margin=float(os.environ.get("PROFILE_SAT_MARGIN", "0")),
     sat_floor=int(os.environ.get("PROFILE_SAT_FLOOR", "128")),
     visible_budget=int(os.environ.get("PROFILE_VIS", "0")),
+    backend=os.environ.get("PROFILE_BACKEND", "pallas"),
+    stream_rows=int(os.environ.get("PROFILE_STREAM_ROWS", "0")),
+    stream_cap=int(os.environ.get("PROFILE_STREAM_CAP", "4096")),
 )
 
 from hierslam_tpu.slam.losses import render_gaussians

@@ -41,7 +41,13 @@ tab[V, rs.COL_LOGIT] = rs.SENTINEL_LOGIT
 rows_per_tile = R // T
 row_off = np.arange(T + 1, dtype=np.int32) * rows_per_tile
 stream = rng.integers(0, V, (R, 128)).astype(np.int32)
-g = jnp.asarray(tab)[jnp.asarray(stream).reshape(-1)].reshape(R, 128, 128)
+CP = -(-(rs.COL_FEAT + N_FEAT) // 8) * 8
+g = jnp.swapaxes(
+    jnp.asarray(tab)[jnp.asarray(stream).reshape(-1)].reshape(R, 128, 128)[
+        ..., :CP
+    ],
+    1, 2,
+)  # [R, CP, 128] columns-first
 
 
 class Cam:
@@ -67,6 +73,32 @@ print(f"fwd compile+run {time.time()-t0:.1f}s acc_sum={float(acc.sum()):.3f} "
 t0 = time.time()
 jax.block_until_ready(fwd(g))
 print(f"fwd run {time.time()-t0:.3f}s", flush=True)
+
+if which.startswith("loop"):
+    # mirror the mapping scan: many kernel launches inside ONE execution
+    n_loop = int(which[4:] or "60")
+
+    def loss(g_):
+        acc, ft, med = rs.blend_stream(
+            g_, sc, ro, grid, tile_shape, N_FEAT, (H, W), CAP, False)
+        return jnp.sum(acc * 1e-3) + jnp.sum(ft) * 1e-3 + jnp.sum(med) * 1e-4
+
+    @jax.jit
+    def many(g_):
+        def body(c, _):
+            l, dg = jax.value_and_grad(loss)(g_ + c * 0e-9)
+            return c + l * 1e-9 + jnp.sum(dg) * 1e-12, l
+        return jax.lax.scan(body, 0.0, None, length=n_loop)
+
+    t0 = time.time()
+    s, ls = jax.block_until_ready(many(g))
+    print(f"loop{n_loop} compile+run {time.time()-t0:.1f}s s={float(s):.4f}",
+          flush=True)
+    t0 = time.time()
+    jax.block_until_ready(many(g))
+    print(f"loop{n_loop} run {time.time()-t0:.2f}s "
+          f"({(time.time()-t0)/n_loop*1e3:.1f} ms/iter fwd+bwd)", flush=True)
+    sys.exit(0)
 
 if which in ("bwd", "both"):
     def loss(g_):
