@@ -749,10 +749,16 @@ def render_from_table(
     gt_ = jnp.swapaxes(g[..., :cp], 1, 2)
     scalars = make_scalars(jnp.asarray(w2c, jnp.float32), camera)
     proj_h = camera.proj_height or camera.height
+    import os as _os
+    if _os.environ.get("HS_DBG_STOPGRAD_BLEND", "0") == "1":
+        gt_ = jax.lax.stop_gradient(gt_)
     acc, ft, med = blend_stream(
         gt_, scalars, b.lists.row_off, grid, config.tile_shape, n_feat,
         (proj_h, W), config.stream_cap, interp,
     )
+    if _os.environ.get("HS_DBG_STOPGRAD_BLEND", "0") == "1":
+        acc, ft, med = jax.tree_util.tree_map(
+            jax.lax.stop_gradient, (acc, ft, med))
     return assemble_stream(acc, ft, med, grid, config.tile_shape, (H, W),
                            None)
 

@@ -305,12 +305,17 @@ def make_mapper(
             labels = window["labels"][k] if "labels" in window else None
             q, t = wq[k], wt[k]
             gt_ssim = jax.tree_util.tree_map(lambda x: x[k], w_ssim)
-            bc = jax.tree_util.tree_map(lambda x: x[k], binnings)
+            _bc_k = 0 if os.environ.get("HS_DBG_FIXED_BC", "0") == "1" else k
+            bc = jax.tree_util.tree_map(lambda x: x[_bc_k], binnings)
             n_slots = params["means3D"].shape[0]
             m2d0 = jnp.zeros((n_slots, 2), jnp.float32)
 
             def loss_fn(gp_, mlp_, m2d_):
                 if use_packed:
+                    if os.environ.get("HS_DBG_NO_RENDER", "0") == "1":
+                        l_ = jnp.sum(gp_["table"][:, :8]) * 1e-6
+                        return l_, (jnp.zeros((8,), jnp.int32),
+                                    {"loss": l_})
                     out = render_packed_stream(
                         gp_["table"], variables["active"], bc, q, t,
                         camera, raster_cfg, n_feat,
@@ -324,10 +329,16 @@ def make_mapper(
                         camera_grad=False, binning_cache=bc,
                         means2D_offset=m2d_ if use_classic else None,
                     )
-                loss, parts = mapping_loss(
-                    out, im_gt, depth_gt, labels, mlp_, it, loss_cfg,
-                    gt_ssim=gt_ssim,
-                )
+                if os.environ.get("HS_DBG_SIMPLE_LOSS", "0") == "1":
+                    loss = (jnp.sum(out.im) * 1e-3
+                            + jnp.sum(out.depth) * 1e-4
+                            + jnp.sum(out.final_opacity) * 1e-3)
+                    parts = {"loss": loss}
+                else:
+                    loss, parts = mapping_loss(
+                        out, im_gt, depth_gt, labels, mlp_, it, loss_cfg,
+                        gt_ssim=gt_ssim,
+                    )
                 parts = dict(parts)
                 # surface gradient-routing truncation (an undersized
                 # grad_pair_budget silently biases mapping gradients —
@@ -360,6 +371,7 @@ def make_mapper(
 
             # --- prune (reference order: backward -> prune -> step;
             # scripts/hierslam.py:2037-2053) ---
+            _dbg_no_prune = os.environ.get("HS_DBG_NO_PRUNE", "0") == "1"
             do_prune = (
                 (it <= prune_cfg.stop_after)
                 & (it >= prune_cfg.start_after)
@@ -383,8 +395,9 @@ def make_mapper(
             ) & (it >= prune_cfg.remove_big_after)
             removed = do_prune & variables["active"] & (small | big)
             variables = dict(variables)
-            variables["active"] = variables["active"] & ~removed
-            opt = optim.zero_moment_rows(opt, removed)
+            if not _dbg_no_prune:
+                variables["active"] = variables["active"] & ~removed
+                opt = optim.zero_moment_rows(opt, removed)
 
             if prune_cfg.reset_opacities:
                 do_reset = (
@@ -423,7 +436,8 @@ def make_mapper(
                         lambda a, b: jnp.where(do_reset, b, a), opt, zeroed
                     )
 
-            gp, opt = optim.adam_step(gp, ggp, opt, lrs_eff, eps=1e-15)
+            if os.environ.get("HS_DBG_NO_ADAM", "0") != "1":
+                gp, opt = optim.adam_step(gp, ggp, opt, lrs_eff, eps=1e-15)
             if gmlp is not None:
                 mlp, mlp_state = optim.adam_step(
                     mlp, gmlp, mlp_state, {"w": mlp_lr, "b": mlp_lr}, eps=1e-8
@@ -497,7 +511,9 @@ def make_mapper(
                 n_classic_over.astype(jnp.float32), (num_iters,)
             )
         out_params = dict(params)
-        if use_packed:
+        if use_packed and os.environ.get("HS_DBG_NO_UNPACK", "0") == "1":
+            pass
+        elif use_packed:
             tb = gp["table"]
             out_params["means3D"] = tb[:, 0:3]
             out_params["log_scales"] = tb[:, 3:4]

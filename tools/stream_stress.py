@@ -126,23 +126,48 @@ def loss(tb, bc, mlp_=None, it=0):
 rand_idx = jnp.asarray(rng.integers(0, WIN, LOOP), jnp.int32)
 
 
+PACK_INJIT = os.environ.get("STRESS_PACK_INJIT", "0") == "1"
+PACK_MULT = int(os.environ.get("STRESS_PACK_MULT", "8"))
+
+
+DYNPOSE = os.environ.get("STRESS_DYNPOSE", "0") == "1"
+wq_all = jnp.tile(q0[None], (WIN, 1))
+wt_all = jnp.tile(t0_[None], (WIN, 1))
+
+
 @jax.jit
-def stress(tb):
+def stress(tb, cols_=None):
+    if IN_JIT and DYNPOSE:
+        wq = jax.lax.stop_gradient(wq_all)
+        wt = jax.lax.stop_gradient(wt_all)
+    if PACK_INJIT:
+        tb = pack_cols_table(cols_, width_mult=PACK_MULT)
     if IN_JIT:
         # mirror the mapper: binnings built in the SAME program (lax.map
         # over window poses), sliced per iteration by a dynamic index
         margin = float(os.environ.get("STRESS_MARGIN", "0"))
 
-        def bin_one(_):
+        from hierslam_tpu.core import transforms as _tf
+
+        def bin_one(arg):
+            if DYNPOSE:
+                q_, t_ = arg
+                means_cam, _ = _tf.transform_to_frame(
+                    params["means3D"], params["unnorm_rotations"], q_, t_,
+                    gaussians_grad=False, camera_grad=False)
+            else:
+                means_cam = params["means3D"]
             return compute_stream_binning(
-                params["means3D"], jnp.exp(params["log_scales"]),
+                means_cam, jnp.exp(params["log_scales"]),
                 params["unnorm_rotations"], camera, rc, active=active,
                 margin_px=margin,
                 opacities=jax.nn.sigmoid(params["logit_opacities"][:, 0]),
                 compact=rc.visible_budget > 0,
             )
 
-        binnings = jax.lax.map(bin_one, jnp.arange(WIN), batch_size=4)
+        binnings = jax.lax.map(
+            bin_one, (wq, wt) if DYNPOSE else jnp.arange(WIN),
+            batch_size=4)
 
     if ADAM:
         opt = optim.adam_init({"table": tb})
@@ -160,8 +185,10 @@ def stress(tb):
             k = rand_idx[it]
 
             def loss_win(tb__, mlp__):
+                q_ = wq[k] if (IN_JIT and DYNPOSE) else q0
+                t__ = wt[k] if (IN_JIT and DYNPOSE) else t0_
                 out = render_packed_stream(
-                    tb__, act_, bc, q0, t0_, camera, rc, 3 + SEM)
+                    tb__, act_, bc, q_, t__, camera, rc, 3 + SEM)
                 l, _ = mapping_loss(
                     out, win_im[k], win_dep[k], labels, mlp__, it, loss_cfg,
                     gt_ssim=gt_ssim)
@@ -194,11 +221,13 @@ def stress(tb):
 
 
 t0 = time.time()
-_, ls = jax.block_until_ready(stress(table))
+_pack_args = (tuple(cols),) if os.environ.get("STRESS_PACK_INJIT", "0") == "1" else ()
+_, ls = jax.block_until_ready(stress(table, *_pack_args))
 print(f"stress{LOOP} compile+run {time.time()-t0:.1f}s l={float(ls[-1]):.4f}",
       flush=True)
 t0 = time.time()
-_, ls = jax.block_until_ready(stress(table))
+_pack_args = (tuple(cols),) if os.environ.get("STRESS_PACK_INJIT", "0") == "1" else ()
+_, ls = jax.block_until_ready(stress(table, *_pack_args))
 dt = time.time() - t0
 print(f"stress{LOOP} run {dt:.2f}s ({dt/LOOP*1e3:.1f} ms/iter "
       f"gather+blend+bwd+route)", flush=True)
