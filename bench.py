@@ -134,7 +134,7 @@ def bench_size(n_gauss, camera, rc, rng, key):
     window = {
         "im": jnp.broadcast_to(im_gt[None], (WINDOW, 3, H, W)),
         "depth": jnp.broadcast_to(depth_gt[None], (WINDOW, H, W)),
-        "labels": jnp.broadcast_to(jnp.asarray(labels)[None], (WINDOW, 6, H, W)),
+        "labels": jnp.broadcast_to(jnp.asarray(labels, jnp.int16)[None], (WINDOW, 6, H, W)),
         "time_idx": jnp.zeros((WINDOW,), jnp.int32),
     }
     rand_idx = jnp.asarray(rng.integers(0, WINDOW, MAP_ITERS), jnp.int32)

@@ -42,17 +42,30 @@ config = dict(
     map_capacity=4_000_000,
     raster=dict(tile_shape=(16, 16), max_per_tile=1024, gaussian_chunk=256, tile_batch=48,
                 grad_pair_budget=2_000_000, grad_bf16=True,
-                # Saturation-bucketed render: tiles are ranked by how many
-                # depth-ordered gaussians they provably NEED before every
-                # pixel's transmittance crosses the blend's 1e-4 cutoff
-                # (2x margin for intra-phase param drift, floor 128) and
-                # assigned to a static capacity ladder -- the static-shape
-                # analogue of the CUDA per-pixel early termination
-                # (forward.cu:358-366); the densest tiles still get 4096
-                # slots (the reference renders every overlap,
-                # rasterizer_impl.cu:281-312).
-                bucket_spec=((128, 4096), (384, 1024), (768, 512), (-1, 256)),
+                # MAPPING runs the ragged pair-streamed renderer
+                # (ops/render_stream.py): raw-attribute pairs are gathered
+                # once per iteration, projected INSIDE the Pallas kernel,
+                # and blended over a waterfilled 128-pair row stream --
+                # blended pairs track the true saturation-bounded per-tile
+                # need (the static-shape analogue of the CUDA per-pixel
+                # early termination, forward.cu:358-366) instead of a
+                # padded capacity ladder.  stream_rows is the global pair
+                # budget in 128-pair rows: 32k rows = 4.1M pairs/frame,
+                # ~1.5x the saturation-bounded need measured at N=2M
+                # (22,093 rows); budgets much past this inflate the
+                # [rows, 128, C] gather/cotangent HBM buffers toward the
+                # chip limit.  stream_cap bounds any single tile (sets
+                # the backward kernel's VMEM scratch).
+                backend="stream",
+                stream_rows=32_000, stream_cap=4_096,
+                # TRACKING stays on the cached pose-only ladder path
+                # (ops/render_tracked.py) -- the stream kernel routes no
+                # camera gradients by design.
                 track_bucket_spec=((128, 1024), (384, 512), (-1, 128)),
+                # ladder spec for the non-stream renders (densify
+                # non-presence render, eval, viz): one generous class is
+                # derived from max_per_tile where needed.
+                bucket_spec=((128, 4096), (384, 1024), (768, 512), (-1, 256)),
                 sat_margin=2.0, sat_floor=128,
                 # mapping works in visible-rank space: per-gaussian costs
                 # scale with the visible prefix, not map capacity; overflow

@@ -243,7 +243,7 @@ def _feats_row(tab_t, dep, n_feat):
 
 def _fwd_kernel(row_off_ref, sc_ref, tab_hbm, acc_ref, ft_ref, med_ref,
                 lte_ref, tab_vmem, dma_sems, *, tile_shape, grid_x, n_feat,
-                img_w, img_h, interpret):
+                img_w, img_h):
     th, tw = tile_shape
     P = th * tw
     t = pl.program_id(0)
@@ -332,7 +332,7 @@ def _fwd_kernel(row_off_ref, sc_ref, tab_hbm, acc_ref, ft_ref, med_ref,
 def _bwd_kernel(row_off_ref, sc_ref, tab_hbm, gacc_ref, gft_ref, gmed_ref,
                 lte_ref, tfin_ref, dtab_zeros, dtab_hbm, tab_all, dtab_row,
                 in_sem, out_sem, *, tile_shape, grid_x, n_feat, img_w,
-                img_h, mrt, interpret):
+                img_h, mrt):
     # dtab_zeros is aliased to dtab_hbm (input_output_aliases): the output
     # buffer starts zeroed, so stream pad rows no tile writes (everything
     # past row_off[T]) carry exact zero cotangents instead of uninitialized
@@ -508,14 +508,14 @@ def _run_fwd(tab, scalars, row_off, grid, tile_shape, n_feat, img_shape,
     tab_p = jnp.pad(tab, ((0, CH), (0, 0), (0, 0)))
     kern = functools.partial(
         _fwd_kernel, tile_shape=tile_shape, grid_x=grid_x, n_feat=n_feat,
-        img_w=float(img_w), img_h=float(img_h), interpret=interpret,
+        img_w=float(img_w), img_h=float(img_h),
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(T,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
             pl.BlockSpec((1, P, n_feat + 2), lambda t, ro: (t, 0, 0),
@@ -563,14 +563,13 @@ def _run_bwd(tab, scalars, row_off, gacc, gft, gmed, lte, tfin, grid,
     kern = functools.partial(
         _bwd_kernel, tile_shape=tile_shape, grid_x=grid_x, n_feat=n_feat,
         img_w=float(img_w), img_h=float(img_h), mrt=mrt_pad,
-        interpret=interpret,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(T,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, P, n_feat + 2), lambda t, ro: (t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, P), lambda t, ro: (t, 0, 0),
@@ -581,10 +580,10 @@ def _run_bwd(tab, scalars, row_off, gacc, gft, gmed, lte, tfin, grid,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, P), lambda t, ro: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         scratch_shapes=[
             pltpu.VMEM((mrt_pad, Cp, rw), jnp.float32),
@@ -749,16 +748,10 @@ def render_from_table(
     gt_ = jnp.swapaxes(g[..., :cp], 1, 2)
     scalars = make_scalars(jnp.asarray(w2c, jnp.float32), camera)
     proj_h = camera.proj_height or camera.height
-    import os as _os
-    if _os.environ.get("HS_DBG_STOPGRAD_BLEND", "0") == "1":
-        gt_ = jax.lax.stop_gradient(gt_)
     acc, ft, med = blend_stream(
         gt_, scalars, b.lists.row_off, grid, config.tile_shape, n_feat,
         (proj_h, W), config.stream_cap, interp,
     )
-    if _os.environ.get("HS_DBG_STOPGRAD_BLEND", "0") == "1":
-        acc, ft, med = jax.tree_util.tree_map(
-            jax.lax.stop_gradient, (acc, ft, med))
     return assemble_stream(acc, ft, med, grid, config.tile_shape, (H, W),
                            None)
 

@@ -162,6 +162,20 @@ def make_dp_mapper(
                 sg["means3D"], sg["unnorm_rotations"], q, t_,
                 gaussians_grad=False, camera_grad=False,
             )
+            if raster_cfg.backend == "stream":
+                # stream binnings are replicated like ladder ones; the
+                # per-device render dispatches to the ragged Pallas kernel
+                # via the StreamBinning cache (ops/render_stream.py)
+                from hierslam_tpu.ops.render_stream import (
+                    compute_stream_binning as _csb,
+                )
+
+                return _csb(
+                    means_cam, scales0, sg["unnorm_rotations"], camera,
+                    raster_cfg, active=variables["active"],
+                    margin_px=bin_margin_px, opacities=opac0,
+                    compact=raster_cfg.visible_budget > 0,
+                )
             return _cb(
                 means_cam, scales0, sg["unnorm_rotations"], camera,
                 raster_cfg, active=variables["active"],

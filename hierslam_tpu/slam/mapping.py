@@ -16,7 +16,6 @@ Mirrors the mapping phase of scripts/hierslam.py:1929-2104:
 from __future__ import annotations
 
 import functools
-import os
 from dataclasses import dataclass
 from typing import Dict, Optional, Tuple
 
@@ -202,24 +201,24 @@ def make_mapper(
             )
             if sem_w:
                 cols += [params["semantic"][:, i] for i in range(sem_w)]
-            # used-width table (sublane multiple): the table + both Adam
-            # moments + the scan's double buffers stay at 40 cols, not 128
-            # NOTE: width stays at the 128-lane gather width.  A narrower
-            # used-width table (width_mult=8 -> 40 cols) saves ~4 GB of
-            # table+moment+carry HBM and measured ~35 ms/iter, but at
-            # N=2M WITH visible-rank compaction it reliably crashes the
-            # TPU worker mid-phase (isolated empirically: width 128 runs,
-            # width 40 + visible_budget crashes, width 40 without
-            # compaction runs; the same composition in tools/stream_stress
-            # does not reproduce it).  Suspected runtime/Mosaic fault, not
-            # program semantics — tracked for a future round.
-            gp = {"table": pack_cols_table(
-                cols, width_mult=int(os.environ.get("HS_PACK_MULT", "128"))
-            )}
+            # The scan CARRIES the table (and its Adam moments) at the
+            # USED width padded to a sublane multiple — [N, 40] for
+            # 3+1+1+3+26 columns — and pads to the 128-lane gather width
+            # once per iteration (pad VJP = slice).  Carrying the
+            # gather-width table instead costs 3 x [N, 88] dead f32
+            # columns (~2.2 GB at N=2M) and pushed the 24-frame window
+            # phase over the v5e's HBM (temp 12.2 GiB -> worker crash).
+            # Feeding a NARROW table into the row gathers themselves
+            # (round 4's width_mult=8 experiment) crashed the TPU runtime
+            # under compaction — the explicit pre-pad keeps every row
+            # gather on the native 128-lane path.
+            width = raster_cfg.stream_table_width
+            gp = {"table": pack_cols_table(cols, width_mult=8)}
+            cw = gp["table"].shape[1]
             import numpy as _np
 
             lr_vec = _np.zeros((gp["table"].shape[1],), _np.float32)
-            lr_vec[0:3] = lrs["means3D"]
+            lr_vec[_rs.COL_MEAN:_rs.COL_MEAN + 3] = lrs["means3D"]
             lr_vec[_rs.COL_LOGS] = lrs["log_scales"]
             lr_vec[_rs.COL_LOGIT] = lrs["logit_opacities"]
             lr_vec[_rs.COL_FEAT:_rs.COL_FEAT + 3] = lrs["rgb_colors"]
@@ -305,19 +304,17 @@ def make_mapper(
             labels = window["labels"][k] if "labels" in window else None
             q, t = wq[k], wt[k]
             gt_ssim = jax.tree_util.tree_map(lambda x: x[k], w_ssim)
-            _bc_k = 0 if os.environ.get("HS_DBG_FIXED_BC", "0") == "1" else k
-            bc = jax.tree_util.tree_map(lambda x: x[_bc_k], binnings)
+            bc = jax.tree_util.tree_map(lambda x: x[k], binnings)
             n_slots = params["means3D"].shape[0]
             m2d0 = jnp.zeros((n_slots, 2), jnp.float32)
 
             def loss_fn(gp_, mlp_, m2d_):
                 if use_packed:
-                    if os.environ.get("HS_DBG_NO_RENDER", "0") == "1":
-                        l_ = jnp.sum(gp_["table"][:, :8]) * 1e-6
-                        return l_, (jnp.zeros((8,), jnp.int32),
-                                    {"loss": l_})
+                    tab128 = jnp.pad(
+                        gp_["table"], ((0, 0), (0, width - cw))
+                    )
                     out = render_packed_stream(
-                        gp_["table"], variables["active"], bc, q, t,
+                        tab128, variables["active"], bc, q, t,
                         camera, raster_cfg, n_feat,
                     )
                 else:
@@ -329,16 +326,10 @@ def make_mapper(
                         camera_grad=False, binning_cache=bc,
                         means2D_offset=m2d_ if use_classic else None,
                     )
-                if os.environ.get("HS_DBG_SIMPLE_LOSS", "0") == "1":
-                    loss = (jnp.sum(out.im) * 1e-3
-                            + jnp.sum(out.depth) * 1e-4
-                            + jnp.sum(out.final_opacity) * 1e-3)
-                    parts = {"loss": loss}
-                else:
-                    loss, parts = mapping_loss(
-                        out, im_gt, depth_gt, labels, mlp_, it, loss_cfg,
-                        gt_ssim=gt_ssim,
-                    )
+                loss, parts = mapping_loss(
+                    out, im_gt, depth_gt, labels, mlp_, it, loss_cfg,
+                    gt_ssim=gt_ssim,
+                )
                 parts = dict(parts)
                 # surface gradient-routing truncation (an undersized
                 # grad_pair_budget silently biases mapping gradients —
@@ -371,7 +362,6 @@ def make_mapper(
 
             # --- prune (reference order: backward -> prune -> step;
             # scripts/hierslam.py:2037-2053) ---
-            _dbg_no_prune = os.environ.get("HS_DBG_NO_PRUNE", "0") == "1"
             do_prune = (
                 (it <= prune_cfg.stop_after)
                 & (it >= prune_cfg.start_after)
@@ -383,9 +373,8 @@ def make_mapper(
                 prune_cfg.removal_opacity_threshold,
             )
             if use_packed:
-                # columns 3/4 of the packed table ARE log_scale / logit
-                logit_col = gp["table"][:, 4]
-                scale_col = gp["table"][:, 3]
+                logit_col = gp["table"][:, _rs.COL_LOGIT]
+                scale_col = gp["table"][:, _rs.COL_LOGS]
             else:
                 logit_col = gp["logit_opacities"][:, 0]
                 scale_col = jnp.max(gp["log_scales"], axis=1)
@@ -395,9 +384,8 @@ def make_mapper(
             ) & (it >= prune_cfg.remove_big_after)
             removed = do_prune & variables["active"] & (small | big)
             variables = dict(variables)
-            if not _dbg_no_prune:
-                variables["active"] = variables["active"] & ~removed
-                opt = optim.zero_moment_rows(opt, removed)
+            variables["active"] = variables["active"] & ~removed
+            opt = optim.zero_moment_rows(opt, removed)
 
             if prune_cfg.reset_opacities:
                 do_reset = (
@@ -411,7 +399,7 @@ def make_mapper(
                     colmask = (
                         jax.lax.broadcasted_iota(
                             jnp.int32, gp["table"].shape, 1
-                        ) == 4
+                        ) == _rs.COL_LOGIT
                     )
                     gp["table"] = jnp.where(
                         do_reset & colmask, reset_val, gp["table"]
@@ -436,8 +424,7 @@ def make_mapper(
                         lambda a, b: jnp.where(do_reset, b, a), opt, zeroed
                     )
 
-            if os.environ.get("HS_DBG_NO_ADAM", "0") != "1":
-                gp, opt = optim.adam_step(gp, ggp, opt, lrs_eff, eps=1e-15)
+            gp, opt = optim.adam_step(gp, ggp, opt, lrs_eff, eps=1e-15)
             if gmlp is not None:
                 mlp, mlp_state = optim.adam_step(
                     mlp, gmlp, mlp_state, {"w": mlp_lr, "b": mlp_lr}, eps=1e-8
@@ -511,16 +498,18 @@ def make_mapper(
                 n_classic_over.astype(jnp.float32), (num_iters,)
             )
         out_params = dict(params)
-        if use_packed and os.environ.get("HS_DBG_NO_UNPACK", "0") == "1":
-            pass
-        elif use_packed:
+        if use_packed:
             tb = gp["table"]
-            out_params["means3D"] = tb[:, 0:3]
-            out_params["log_scales"] = tb[:, 3:4]
-            out_params["logit_opacities"] = tb[:, 4:5]
-            out_params["rgb_colors"] = tb[:, 5:8]
+            out_params["means3D"] = tb[:, _rs.COL_MEAN:_rs.COL_MEAN + 3]
+            out_params["log_scales"] = tb[:, _rs.COL_LOGS:_rs.COL_LOGS + 1]
+            out_params["logit_opacities"] = (
+                tb[:, _rs.COL_LOGIT:_rs.COL_LOGIT + 1]
+            )
+            out_params["rgb_colors"] = tb[:, _rs.COL_FEAT:_rs.COL_FEAT + 3]
             if sem_w:
-                out_params["semantic"] = tb[:, 8:8 + sem_w]
+                out_params["semantic"] = (
+                    tb[:, _rs.COL_FEAT + 3:_rs.COL_FEAT + 3 + sem_w]
+                )
         else:
             out_params.update(gp)
         return out_params, variables, mlp, mlp_state, losses

@@ -435,8 +435,11 @@ class SLAMRunner:
             "time_idx": jnp.asarray(np.array([f.id for f in reps], np.int32)),
         }
         if self.semantic:
+            # int16 halves the window-label HBM (468 MB at 24x6 full-res
+            # int32); every consumer casts to int32 at use.  All shipped
+            # label spaces fit (<= ~550 raw ids for scannet tree_large).
             window["labels"] = jnp.asarray(
-                np.stack([f.labels for f in reps]).astype(np.int32)
+                np.stack([f.labels for f in reps]).astype(np.int16)
             )
         return window
 

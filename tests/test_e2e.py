@@ -154,6 +154,30 @@ def test_full_slam_semantic(tmp_path):
     assert its == sorted(its) and len(set(its)) == len(its)
 
 
+def test_full_slam_semantic_stream(tmp_path):
+    """End-to-end SLAMRunner with the SHIPPED mapping backend
+    (raster.backend='stream', configs/replica/hierslam_semantic_run.py):
+    tracking on the cached ladder path, mapping through the ragged
+    pair-streamed renderer + packed-table scan (slam/mapping.py)."""
+    basedir, seq, _ = fabricate_replica(
+        str(tmp_path / "data"), n_frames=4, semantic=True
+    )
+    cfg = small_config(basedir, seq, workdir=str(tmp_path / "out_stream"))
+    cfg["raster"]["backend"] = "stream"
+    cfg["raster"]["stream_cap"] = 1024
+    cfg["tracking"]["num_iters"] = 12
+    cfg["mapping"]["num_iters"] = 12
+
+    from hierslam_tpu.slam.pipeline import run_slam
+
+    params_np, summary, results = run_slam(cfg, do_eval=True)
+    assert summary["n_active"] > 1000
+    # same sanity bars as the ladder e2e (fewer iters -> looser PSNR)
+    assert results["ate_rmse_cm"] < 5.0
+    assert results["psnr"] > 10.0
+    assert np.isfinite(results["depth_l1_cm"])
+
+
 def test_gt_pose_mode(tmp_path):
     """BASELINE.json config 1: GT-pose path — ATE must be ~0."""
     basedir, seq, _ = fabricate_replica(str(tmp_path / "data"), n_frames=5, semantic=True)

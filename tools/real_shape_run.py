@@ -51,7 +51,13 @@ def build_config(basedir, workdir, W, H, max_per_tile, map_every, capacity,
             escalate_tiles=escalate_tiles, escalate_k=escalate_k,
             bucket_spec=bucket_spec, track_bucket_spec=track_bucket_spec,
             sat_margin=float(os.environ.get("RS_SAT_MARGIN", "0")),
+            sat_floor=int(os.environ.get("RS_SAT_FLOOR", "128")),
             visible_budget=int(os.environ.get("RS_VIS", 1_500_000)),
+            # mapping backend: shipped default is the ragged pair stream
+            # (configs/replica/hierslam_semantic_run.py)
+            backend=os.environ.get("RS_BACKEND", "stream"),
+            stream_rows=int(os.environ.get("RS_STREAM_ROWS", "78000")),
+            stream_cap=int(os.environ.get("RS_STREAM_CAP", "4096")),
         ),
         model=dict(flag_use_embedding=1, eval_gt_transfer=False),
         data=dict(

@@ -10,7 +10,8 @@ import time
 
 import numpy as np
 
-sys.path.insert(0, "/root/repo")
+import os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from hierslam_tpu.utils.cache import enable_compilation_cache
 
 enable_compilation_cache()
