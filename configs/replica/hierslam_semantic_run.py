@@ -67,9 +67,11 @@ config = dict(
                 # derived from max_per_tile where needed.
                 bucket_spec=((128, 4096), (384, 1024), (768, 512), (-1, 256)),
                 sat_margin=2.0, sat_floor=128,
-                # mapping works in visible-rank space: per-gaussian costs
-                # scale with the visible prefix, not map capacity; overflow
-                # past the budget is counted and warned-on
+                # visible-rank compaction applies to the LADDER backends
+                # only (per-gaussian work scales with the visible prefix);
+                # the packed stream mapper bins full-N — its costs scale
+                # with the pair stream, and the budget would only truncate
+                # rendering (slam/mapping.py).
                 visible_budget=1_500_000),
     model=dict(
         flag_use_embedding=1,

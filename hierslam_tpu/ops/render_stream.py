@@ -707,6 +707,18 @@ def compute_stream_binning(
     inverse = build_inverse_map(
         lists.idx, n_rows, config.max_tiles_per_gaussian
     )
+    pb = config.grad_pair_budget
+    if pb and pb < inverse.spos.shape[0]:
+        # the gradient router only ever reads the first pair_budget
+        # positions of the gaussian-sorted order (gather_vjp._gather_bwd)
+        # — store the per-frame tables pre-truncated: ~10 MB/frame at the
+        # mapping shape, x window frames of amortized binnings
+        from hierslam_tpu.ops.gather_vjp import InverseMap
+
+        inverse = InverseMap(
+            spos=inverse.spos[:pb], ends=inverse.ends,
+            run_masks=inverse.run_masks[:pb],
+        )
     return StreamBinning(lists, inverse)
 
 

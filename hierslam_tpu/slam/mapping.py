@@ -114,7 +114,12 @@ def make_mapper(
     num_iters: int,
     prune_cfg: PruneConfig,
     mlp_lr: float = 5e-4,
-    bin_margin_px: float = 8.0,
+    # rect margin covering intra-phase param drift: Adam moves means
+    # ~lr*iters = 6e-3 world units (~2 px at fx=600/z=2) and scales ~6%
+    # (~2 px on a 30 px gaussian) over a 60-iteration phase — 4 px is a
+    # 2x bound.  Every margin pixel inflates pair emission, the stream
+    # row need, and all [pairs]-sized gather/route/kernel buffers.
+    bin_margin_px: float = 4.0,
     densify_cfg=None,
 ):
     """Build the jitted mapping-phase function.
@@ -168,6 +173,17 @@ def make_mapper(
     # produces no rotation gradient (they stay constant, exactly as the
     # dict-space stream path behaved).
     use_packed = raster_cfg.backend == "stream"
+    # Visible-rank compaction exists to make PER-GAUSSIAN per-iteration
+    # work (transforms, column packs, gradient heads) scale with the
+    # visible prefix V instead of capacity N — but the packed stream
+    # path has none of that: its table is packed once per phase and its
+    # render/backward costs scale with the PAIR stream.  The [N] -> [V]
+    # row compact it would add costs 75 ms/iter at N=2M (XLA narrows the
+    # gather through the table pad) and its budget TRUNCATES rendering
+    # (gaussians ranked past V drop).  The stream mapper therefore bins
+    # full-N; visible_budget keeps its meaning for the ladder backends.
+    if use_packed:
+        compacted = False
 
     @jax.jit
     def map_phase(
@@ -201,23 +217,42 @@ def make_mapper(
             )
             if sem_w:
                 cols += [params["semantic"][:, i] for i in range(sem_w)]
-            # The scan CARRIES the table (and its Adam moments) at the
+            # The scan CARRIES the table and its Adam moments at the
             # USED width padded to a sublane multiple — [N, 40] for
-            # 3+1+1+3+26 columns — and pads to the 128-lane gather width
-            # once per iteration (pad VJP = slice).  Carrying the
-            # gather-width table instead costs 3 x [N, 88] dead f32
-            # columns (~2.2 GB at N=2M) and pushed the 24-frame window
-            # phase over the v5e's HBM (temp 12.2 GiB -> worker crash).
-            # Feeding a NARROW table into the row gathers themselves
-            # (round 4's width_mult=8 experiment) crashed the TPU runtime
-            # under compaction — the explicit pre-pad keeps every row
-            # gather on the native 128-lane path.
-            width = raster_cfg.stream_table_width
+            # 3+1+1+3+26 columns — padding to the 128-lane gather width
+            # per iteration (pad VJP = slice).  This is the ONLY N=2M /
+            # 24-frame-window arrangement that survives on the v5e:
+            # gather-width carry+moments (temp 12.2 GiB), full-width
+            # carry + narrow moments via a lane-slice DUS write-back
+            # (~7.4 GiB), and an optimization_barrier'd pad (7.7 GiB)
+            # all reliably kill the TPU worker, while this layout (6.7
+            # GiB) runs — see tools/stream_width_repro.py for the crash
+            # matrix.  XLA narrows the compaction row gather through the
+            # plain pad (a 40-lane gather, ~75 ms/iter vs 15 full-lane);
+            # that cost is accepted until the runtime fault is cornered.
             gp = {"table": pack_cols_table(cols, width_mult=8)}
             cw = gp["table"].shape[1]
+            width = raster_cfg.stream_table_width
+            # Fold the active mask into the opacity-logit column ONCE per
+            # phase: inactive capacity slots get the sentinel logit, so
+            # they blend to nothing and route no gradient without a
+            # per-iteration [V]-row boolean compact of the mask.  Prunes
+            # inside the scan write the same sentinel (below); pruned
+            # rows are never recycled within a phase (insert_gaussians
+            # appends at n_active), so the fold is equivalent to the
+            # reference's row removal.
+            _logit_colmask = (
+                jax.lax.broadcasted_iota(
+                    jnp.int32, gp["table"].shape, 1
+                ) == _rs.COL_LOGIT
+            )
+            gp["table"] = jnp.where(
+                (~variables["active"])[:, None] & _logit_colmask,
+                _rs.SENTINEL_LOGIT, gp["table"],
+            )
             import numpy as _np
 
-            lr_vec = _np.zeros((gp["table"].shape[1],), _np.float32)
+            lr_vec = _np.zeros((cw,), _np.float32)
             lr_vec[_rs.COL_MEAN:_rs.COL_MEAN + 3] = lrs["means3D"]
             lr_vec[_rs.COL_LOGS] = lrs["log_scales"]
             lr_vec[_rs.COL_LOGIT] = lrs["logit_opacities"]
@@ -239,11 +274,17 @@ def make_mapper(
         wq = jax.lax.stop_gradient(wq)
         wt = jax.lax.stop_gradient(wt)
 
-        # GT-side SSIM statistics are iteration-invariant: two of the six
-        # Gaussian filters per iteration precomputed once per phase.
-        from hierslam_tpu.ops.ssim import ssim_ref_stats
+        # GT-side SSIM statistics are iteration-invariant; precomputing
+        # them per phase trades two ~1 ms Gaussian filters per iteration
+        # for two [W, 3, H, W] f32 buffers (~470 MB at the 24-frame
+        # full-res window) — on the crash-margin N=2M phase the packed
+        # path recomputes per iteration instead.
+        if use_packed:
+            w_ssim = None
+        else:
+            from hierslam_tpu.ops.ssim import ssim_ref_stats
 
-        w_ssim = jax.vmap(ssim_ref_stats)(window["im"])
+            w_ssim = jax.vmap(ssim_ref_stats)(window["im"])
 
         # --- per-window-frame amortized binning (per scan segment) -------
         from hierslam_tpu.core import transforms as _tf
@@ -303,18 +344,24 @@ def make_mapper(
             depth_gt = window["depth"][k]
             labels = window["labels"][k] if "labels" in window else None
             q, t = wq[k], wt[k]
-            gt_ssim = jax.tree_util.tree_map(lambda x: x[k], w_ssim)
+            gt_ssim = (
+                None if w_ssim is None
+                else jax.tree_util.tree_map(lambda x: x[k], w_ssim)
+            )
             bc = jax.tree_util.tree_map(lambda x: x[k], binnings)
             n_slots = params["means3D"].shape[0]
             m2d0 = jnp.zeros((n_slots, 2), jnp.float32)
 
             def loss_fn(gp_, mlp_, m2d_):
                 if use_packed:
+                    # active/prune state is folded into the logit column
+                    # (sentinel) by the phase setup and the prune step —
+                    # no per-iteration [V] boolean compact (23.9 ms/iter)
                     tab128 = jnp.pad(
                         gp_["table"], ((0, 0), (0, width - cw))
                     )
                     out = render_packed_stream(
-                        tab128, variables["active"], bc, q, t,
+                        tab128, None, bc, q, t,
                         camera, raster_cfg, n_feat,
                     )
                 else:
@@ -386,6 +433,18 @@ def make_mapper(
             variables = dict(variables)
             variables["active"] = variables["active"] & ~removed
             opt = optim.zero_moment_rows(opt, removed)
+            if use_packed:
+                # row removal = sentinel logit (see the phase-start fold)
+                gp = dict(gp)
+                colmask_logit = (
+                    jax.lax.broadcasted_iota(
+                        jnp.int32, gp["table"].shape, 1
+                    ) == _rs.COL_LOGIT
+                )
+                gp["table"] = jnp.where(
+                    removed[:, None] & colmask_logit,
+                    _rs.SENTINEL_LOGIT, gp["table"],
+                )
 
             if prune_cfg.reset_opacities:
                 do_reset = (
@@ -404,11 +463,16 @@ def make_mapper(
                     gp["table"] = jnp.where(
                         do_reset & colmask, reset_val, gp["table"]
                     )
+                    colmask_n = (
+                        jax.lax.broadcasted_iota(
+                            jnp.int32, opt.mu["table"].shape, 1
+                        ) == _rs.COL_LOGIT
+                    )
                     opt = optim.AdamState(
                         mu={"table": jnp.where(
-                            do_reset & colmask, 0.0, opt.mu["table"])},
+                            do_reset & colmask_n, 0.0, opt.mu["table"])},
                         nu={"table": jnp.where(
-                            do_reset & colmask, 0.0, opt.nu["table"])},
+                            do_reset & colmask_n, 0.0, opt.nu["table"])},
                         count=opt.count,
                     )
                 else:
@@ -430,12 +494,13 @@ def make_mapper(
                     mlp, gmlp, mlp_state, {"w": mlp_lr, "b": mlp_lr}, eps=1e-8
                 )
 
-            if not compacted:
+            if not compacted and not use_packed:
                 # max_2D_radius is consumed ONLY by classic clone/split
                 # densification (utils/slam_external.py:191-243) and is
                 # re-zeroed by every silhouette densify — under visible-
-                # rank compaction radii live in per-frame compact spaces,
-                # so the (unconsumed) bookkeeping is skipped.
+                # rank compaction radii live in per-frame compact spaces
+                # (and the stream kernel reports no radii at all), so the
+                # (unconsumed) bookkeeping is skipped.
                 radf = radii.astype(jnp.float32)
                 variables["max_2D_radius"] = jnp.where(
                     radii > 0,

@@ -75,8 +75,9 @@ if rc.backend == "stream":
     _sl = jax.jit(lambda: _csb(
         params["means3D"], jnp.exp(params["log_scales"]),
         params["unnorm_rotations"], camera, rc,
+        margin_px=float(os.environ.get("PROBE_MARGIN", "0")),
         opacities=jax.nn.sigmoid(params["logit_opacities"][:, 0]),
-        compact=rc.visible_budget > 0,
+        compact=os.environ.get("PROBE_SL_COMPACT", "0") == "1",
     ).lists)()
     ke = np.asarray(_sl.k_eff)
     print("stream k_eff quantiles", np.percentile(ke, [50, 90, 99, 100]).astype(int),

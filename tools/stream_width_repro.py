@@ -1,26 +1,36 @@
-"""Minimal-repro bisect for the narrow-table TPU worker crash.
+"""Minimal repro for the narrow-table pad+barrier+gather TPU fault.
 
-Observed in round 4: the stream mapping phase (slam/mapping.py) with a
-packed parameter table at the USED width (width_mult=8 -> 40 columns for
-3+1+1+3+26) *and* visible-rank compaction (visible_budget > 0) at N=2M
-reliably kills the TPU worker mid-phase ("TPU worker process crashed or
-restarted"), while width 128 runs, and width 40 *without* compaction runs.
-The production mapper therefore pins the table at the 128-lane width and
-refuses narrow+compacted configs (RasterConfig.stream_table_width).
+History. Round 4: the stream mapping phase with its packed parameter
+table stored at the USED width (40 of 128 lanes) and visible-rank
+compaction reliably killed the TPU worker ("TPU worker process crashed
+or restarted") at N=2M, while width 128 ran, and width 40 WITHOUT
+compaction ran.  Round 5 narrowed the trigger: the same fault fires with
+a width-128 gather path as soon as the program contains the composition
+
+    optimization_barrier(pad([N, 40] -> [N, 128]))  ->  row gather [V]
+
+inside the iteration scan (the pattern ``aligned_gather_rows`` uses to
+keep narrow tables on the full-lane gather path, and the pattern a
+narrow scan carry needs to avoid XLA narrowing the compaction gather).
+Compiler memory analysis puts that program at temp 7.7 GiB — well inside
+the chip — while a 6.7 GiB variant without the composition runs, so the
+crash is not HBM pressure.  The production mapper now avoids the
+composition entirely (full-width table carry + used-width Adam moments,
+slam/mapping.py), which runs at N=2M with the full 24-frame window.
 
 This script owns the repro matrix.  Each cell runs in a SUBPROCESS (a
-crash takes the whole TPU client down), driving the real
-``make_mapper``-built phase at the shipped knobs for a configurable
-(width, visible_budget, N) triple, and the parent records ok/crash per
-cell plus the tightest crashing configuration found.
+crash takes the whole TPU client down).  Cells:
+
+    plain   — [N,128] table -> compact gather -> reduce, in a scan (runs)
+    padbar  — [N,40] table -> barrier(pad) -> compact gather -> reduce
+              (the suspected-fault composition)
 
 Usage:
-    python tools/stream_width_repro.py            # default bisect matrix
-    REPRO_CELLS="40:1500000:2000000,128:1500000:2000000" \
-        python tools/stream_width_repro.py        # explicit cells
-    REPRO_ITERS=10 python tools/stream_width_repro.py
+    python tools/stream_width_repro.py                 # both cells, N=2M
+    REPRO_CELLS=padbar REPRO_N=1000000 python tools/stream_width_repro.py
+    REPRO_ITERS=20 python tools/stream_width_repro.py
 
-Writes a JSON summary to stdout (one line) and a human log to stderr.
+Prints one JSON line; human log on stderr.
 """
 import json
 import os
@@ -36,86 +46,57 @@ import numpy as np
 import jax, jax.numpy as jnp
 from hierslam_tpu.utils.cache import enable_compilation_cache
 enable_compilation_cache()
-from hierslam_tpu.core import gaussians as G
-from hierslam_tpu.core.camera import intrinsics_matrix, setup_camera
-from hierslam_tpu.ops.rasterize import RasterConfig
-from hierslam_tpu.slam import optim
-from hierslam_tpu.slam.losses import LossConfig, mlp_init
-from hierslam_tpu.slam.mapping import PruneConfig, make_mapper
 
-WIDTH = int(os.environ["REPRO_WIDTH"])
-VIS = int(os.environ["REPRO_VIS"])
-N = int(os.environ["REPRO_N"])
-ITERS = int(os.environ.get("REPRO_ITERS", "20"))
-H, W, SEM, WIN = 680, 1200, 26, 4
+MODE = os.environ["REPRO_MODE"]          # "plain" | "padbar"
+N = int(os.environ.get("REPRO_N", "2000000"))
+V = int(os.environ.get("REPRO_V", "1500000"))
+CW = int(os.environ.get("REPRO_CW", "40"))
+ITERS = int(os.environ.get("REPRO_ITERS", "60"))
 
-rng = np.random.default_rng(0)
 key = jax.random.PRNGKey(0)
-params = G.empty_params(N, 8, SEM)
-params["means3D"] = jnp.asarray(np.stack(
-    [rng.uniform(-3, 3, N), rng.uniform(-2, 2, N), rng.uniform(0.5, 5, N)],
-    -1).astype(np.float32))
-params["rgb_colors"] = jnp.asarray(rng.uniform(0, 1, (N, 3)), jnp.float32)
-params["logit_opacities"] = jnp.asarray(rng.normal(1.5, 1.0, (N, 1)), jnp.float32)
-params["log_scales"] = jnp.asarray(
-    np.log(rng.uniform(0.008, 0.03, (N, 1))), jnp.float32)
-params["semantic"] = jax.random.uniform(key, (N, SEM))
-variables = G.empty_variables(N)
-variables["active"] = jnp.ones((N,), bool)
-variables["n_active"] = jnp.asarray(N, jnp.int32)
-variables["scene_radius"] = jnp.asarray(2.3, jnp.float32)
-camera = setup_camera(W, H, intrinsics_matrix(600, 600, 599.5, 339.5), np.eye(4))
+vis = jnp.arange(V, dtype=jnp.int32)     # permutation prefix, like rank binning
+tab_full = jax.random.normal(key, (N, 128), jnp.float32)
+tab_narrow = tab_full[:, :CW]
 
-rc = RasterConfig(
-    max_per_tile=1024, gaussian_chunk=256, tile_batch=48,
-    grad_pair_budget=2_000_000, grad_bf16=True,
-    sat_margin=2.0, sat_floor=128, visible_budget=VIS,
-    backend="stream", stream_rows=78_000, stream_cap=4096,
-    stream_table_width=WIDTH,
-)
-loss_cfg = LossConfig(
-    use_sil_for_loss=False, sil_thres=0.5, w_im=0.5, w_depth=1.0, w_sem=0.2,
-    sem_levels=(2, 3, 5, 7, 9), num_leaf=102, use_mlp=True)
-lrs = dict(means3D=1e-4, rgb_colors=2.5e-3, unnorm_rotations=1e-3,
-           logit_opacities=0.05, log_scales=1e-3, semantic=0.05)
-mapper = make_mapper(camera, loss_cfg, rc, lrs, ITERS, PruneConfig())
+def body_plain(tab, _):
+    c = tab[vis]                          # [V, 128] full-lane row gather
+    loss = jnp.sum(c[:, :CW]) * 1e-9
+    tab = tab - loss * 1e-6               # keep the carry live
+    return tab, loss
 
-from hierslam_tpu.slam.losses import render_gaussians
-out = render_gaussians(params, variables["active"], jnp.array([1.0, 0, 0, 0]),
-                       jnp.zeros(3), camera, rc, with_semantic=False,
-                       gaussians_grad=False, camera_grad=False)
-im_gt = jnp.clip(out.im, 0, 1)
-depth_gt = out.depth
-labels = jnp.asarray(np.concatenate(
-    [rng.integers(0, n, (1, H, W)) for n in (2, 3, 5, 7, 9, 102)], 0
-).astype(np.int32))
-window = {
-    "im": jnp.broadcast_to(im_gt[None], (WIN, 3, H, W)),
-    "depth": jnp.broadcast_to(depth_gt[None], (WIN, H, W)),
-    "labels": jnp.broadcast_to(labels[None], (WIN, 6, H, W)),
-    "time_idx": jnp.zeros((WIN,), jnp.int32),
-}
-rand_idx = jnp.asarray(rng.integers(0, WIN, ITERS), jnp.int32)
-mlp = mlp_init(SEM, 102, key)
-mlp_state = optim.adam_init(mlp)
+def body_padbar(tab, _):
+    t128 = jax.lax.optimization_barrier(
+        jnp.pad(tab, ((0, 0), (0, 128 - CW)))
+    )
+    c = t128[vis]                         # [V, 128] gather of the padded table
+    loss = jnp.sum(c[:, :CW]) * 1e-9
+    tab = tab - loss * 1e-6
+    return tab, loss
+
+if MODE == "plain":
+    tab0, body = tab_full, body_plain
+else:
+    tab0, body = tab_narrow, body_padbar
+
+@jax.jit
+def run(tab):
+    tab, losses = jax.lax.scan(body, tab, None, length=ITERS)
+    return losses[-1]
 
 t0 = time.time()
-p2, v2, m2, ms2, losses = mapper(params, variables, window, rand_idx, mlp, mlp_state)
-l = float(losses["loss"][-1])
-print(f"OK loss={l:.4f} wall={time.time()-t0:.1f}s", flush=True)
+l = float(run(tab0))
+print(f"OK loss={l:.6f} wall={time.time()-t0:.1f}s", flush=True)
 """
 
 
-def run_cell(width, vis, n, iters):
+def run_cell(mode, iters):
     env = dict(os.environ)
-    env.update(
-        REPRO_REPO=REPO, REPRO_WIDTH=str(width), REPRO_VIS=str(vis),
-        REPRO_N=str(n), REPRO_ITERS=str(iters),
-    )
+    env.update(REPRO_REPO=REPO, REPRO_MODE=mode,
+               REPRO_ITERS=str(iters))
     try:
         proc = subprocess.run(
             [sys.executable, "-c", CHILD], env=env, capture_output=True,
-            text=True, timeout=1200,
+            text=True, timeout=900,
         )
     except subprocess.TimeoutExpired:
         return dict(status="timeout")
@@ -123,46 +104,22 @@ def run_cell(width, vis, n, iters):
     if proc.returncode == 0 and "OK loss=" in proc.stdout:
         return dict(status="ok", tail=proc.stdout.strip().splitlines()[-1])
     crash = ("TPU worker process crashed" in tail) or proc.returncode < 0
-    return dict(
-        status="crash" if crash else "error",
-        rc=proc.returncode, tail=tail[-600:],
-    )
+    return dict(status="crash" if crash else "error",
+                rc=proc.returncode, tail=tail[-600:])
 
 
 def main():
-    iters = int(os.environ.get("REPRO_ITERS", "20"))
-    cells_env = os.environ.get("REPRO_CELLS", "")
-    if cells_env:
-        cells = [tuple(int(v) for v in c.split(":"))
-                 for c in cells_env.split(",")]
-    else:
-        # the round-4 observation triangle + scale bisect
-        cells = [
-            (40, 1_500_000, 2_000_000),   # crashed in r4
-            (128, 1_500_000, 2_000_000),  # ran in r4
-            (40, 0, 2_000_000),           # ran in r4
-            (40, 1_500_000, 1_000_000),   # does it need N=2M?
-            (40, 750_000, 2_000_000),     # does it need V=1.5M?
-            (48, 1_500_000, 2_000_000),   # width threshold probe
-        ]
+    iters = int(os.environ.get("REPRO_ITERS", "60"))
+    cells = os.environ.get("REPRO_CELLS", "plain,padbar").split(",")
     results = []
-    for width, vis, n in cells:
-        print(f"[repro] width={width} vis={vis} N={n} ...",
-              file=sys.stderr, flush=True)
-        r = run_cell(width, vis, n, iters)
-        r.update(width=width, visible_budget=vis, n=n)
+    for mode in cells:
+        print(f"[repro] {mode} ...", file=sys.stderr, flush=True)
+        r = run_cell(mode, iters)
+        r["mode"] = mode
         print(f"[repro]   -> {r['status']} {r.get('tail', '')[:200]}",
               file=sys.stderr, flush=True)
         results.append(r)
-    crashing = [r for r in results if r["status"] == "crash"]
-    print(json.dumps({
-        "iters": iters,
-        "cells": results,
-        "crashing": [
-            {k: r[k] for k in ("width", "visible_budget", "n")}
-            for r in crashing
-        ],
-    }))
+    print(json.dumps({"iters": iters, "cells": results}))
 
 
 if __name__ == "__main__":
