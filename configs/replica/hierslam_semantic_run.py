@@ -41,7 +41,10 @@ config = dict(
     # --- TPU-specific ---
     map_capacity=4_000_000,
     raster=dict(tile_shape=(16, 16), max_per_tile=1024, gaussian_chunk=256, tile_batch=48,
-                grad_pair_budget=2_000_000, grad_bf16=True,
+                # grad routing must cover the full stream (32k rows x 128):
+                # truncation cuts HIGH-ID (newest-densified) gaussians'
+                # gradients entirely — the runner warns on any drop
+                grad_pair_budget=4_100_000, grad_bf16=True,
                 # MAPPING runs the ragged pair-streamed renderer
                 # (ops/render_stream.py): raw-attribute pairs are gathered
                 # once per iteration, projected INSIDE the Pallas kernel,

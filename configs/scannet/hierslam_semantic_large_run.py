@@ -41,22 +41,19 @@ config = dict(
     # --- TPU-specific ---
     map_capacity=3_000_000,
     raster=dict(tile_shape=(16, 16), max_per_tile=1024, gaussian_chunk=256, tile_batch=48,
-                grad_pair_budget=2_000_000, grad_bf16=True,
-                # Saturation-bucketed render: tiles are ranked by how many
-                # depth-ordered gaussians they provably NEED before every
-                # pixel's transmittance crosses the blend's 1e-4 cutoff
-                # (2x margin for intra-phase param drift, floor 128) and
-                # assigned to a static capacity ladder -- the static-shape
-                # analogue of the CUDA per-pixel early termination
-                # (forward.cu:358-366); the densest tiles still get 4096
-                # slots (the reference renders every overlap,
-                # rasterizer_impl.cu:281-312).
-                bucket_spec=((128, 4096), (384, 1024), (768, 512), (-1, 256)),
+                grad_pair_budget=2_100_000, grad_bf16=True,  # covers 16k rows x 128
+                # MAPPING runs the ragged pair-streamed renderer
+                # (ops/render_stream.py; see the Replica flagship config
+                # for the design notes).  16k rows = 2M pairs/frame at
+                # the 640x480 / 1200-tile grid.
+                backend="stream",
+                stream_rows=16_000, stream_cap=4_096,
+                # TRACKING stays on the cached pose-only ladder path.
                 track_bucket_spec=((128, 1024), (384, 512), (-1, 128)),
+                # ladder spec for non-stream renders (densify, eval, viz)
+                bucket_spec=((128, 4096), (384, 1024), (768, 512), (-1, 256)),
                 sat_margin=2.0, sat_floor=128,
-                # mapping works in visible-rank space: per-gaussian costs
-                # scale with the visible prefix, not map capacity; overflow
-                # past the budget is counted and warned-on
+                # ladder-backend-only knob (the stream mapper bins full-N)
                 visible_budget=1_500_000),
     model=dict(
         flag_use_embedding=1,

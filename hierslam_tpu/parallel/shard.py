@@ -109,7 +109,7 @@ def make_dp_mapper(
     num_iters: int,
     prune_cfg,
     mlp_lr: float = 5e-4,
-    bin_margin_px: float = 8.0,
+    bin_margin_px: float = 4.0,  # keep in sync with slam.mapping.make_mapper
     axis: str = "data",
 ):
     """Data-parallel mapping PHASE with the same signature/semantics as

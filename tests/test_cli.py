@@ -5,6 +5,7 @@ import subprocess
 import sys
 
 import numpy as np
+import pytest
 
 from fabricate import fabricate_replica
 
@@ -74,6 +75,7 @@ def _env():
     return env
 
 
+@pytest.mark.slow
 def test_run_slam_and_export_cli(tmp_path):
     basedir, seq, _ = fabricate_replica(str(tmp_path / "data"), n_frames=4, semantic=True)
     cfg_path = tmp_path / "cfg.py"

@@ -2,6 +2,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from hierslam_tpu.core import gaussians as G
 from hierslam_tpu.slam import optim
@@ -53,6 +54,7 @@ def test_clone_and_split():
     assert float(jnp.sum(variables2["means2D_gradient_accum"])) == 0.0
 
 
+@pytest.mark.slow
 def test_means2d_offset_gradients_flow():
     """rasterize's means2D_offset hook receives screen-space gradients."""
     from hierslam_tpu.core.camera import intrinsics_matrix, setup_camera
@@ -81,6 +83,7 @@ def test_means2d_offset_gradients_flow():
     assert float(jnp.sum(jnp.abs(g))) > 0
 
 
+@pytest.mark.slow
 def test_mapper_with_classic_densify_enabled():
     """use_gaussian_splatting_densification wired into the mapper
     (scripts/hierslam.py:2047): clones/splits fire on the densify schedule,

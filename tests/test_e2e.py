@@ -91,6 +91,7 @@ def small_config(basedir, seq, semantic=True, workdir="/tmp/hierslam_e2e"):
     )
 
 
+@pytest.mark.slow
 def test_full_slam_semantic(tmp_path):
     basedir, seq, _ = fabricate_replica(str(tmp_path / "data"), n_frames=6, semantic=True)
     cfg = small_config(basedir, seq, workdir=str(tmp_path / "out"))
@@ -154,6 +155,7 @@ def test_full_slam_semantic(tmp_path):
     assert its == sorted(its) and len(set(its)) == len(its)
 
 
+@pytest.mark.slow
 def test_full_slam_semantic_stream(tmp_path):
     """End-to-end SLAMRunner with the SHIPPED mapping backend
     (raster.backend='stream', configs/replica/hierslam_semantic_run.py):
@@ -178,6 +180,7 @@ def test_full_slam_semantic_stream(tmp_path):
     assert np.isfinite(results["depth_l1_cm"])
 
 
+@pytest.mark.slow
 def test_gt_pose_mode(tmp_path):
     """BASELINE.json config 1: GT-pose path — ATE must be ~0."""
     basedir, seq, _ = fabricate_replica(str(tmp_path / "data"), n_frames=5, semantic=True)

@@ -3,6 +3,7 @@ import os
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from fabricate import fabricate_replica
 from test_e2e import small_config
@@ -24,6 +25,7 @@ def _run(tmp_path, **overrides):
     return r, r.finalize(), cfg
 
 
+@pytest.mark.slow
 def test_nvs_eval_runs(tmp_path):
     r, pn, cfg = _run(tmp_path)
     from hierslam_tpu.eval.runner import run_nvs_eval
@@ -33,6 +35,7 @@ def test_nvs_eval_runs(tmp_path):
     assert 0 <= res["nvs_ms_ssim"] <= 1.0
 
 
+@pytest.mark.slow
 def test_final_eval_without_mlp_decoder(tmp_path):
     """Tree decode via per-level argmax + tuple->leaf lookup
     (transfer_tree_2_label path, flag_mlp=0)."""
@@ -47,6 +50,7 @@ def test_final_eval_without_mlp_decoder(tmp_path):
     assert 0 <= res["miou_pct"] <= 100
 
 
+@pytest.mark.slow
 def test_viz_replay_frames(tmp_path):
     r, pn, cfg = _run(tmp_path)
     from hierslam_tpu.viz.recon import render_trajectory_frames
@@ -62,6 +66,7 @@ def test_viz_replay_frames(tmp_path):
     assert any(f.startswith("sem_") for f in pngs)
 
 
+@pytest.mark.slow
 def test_metrics_plot(tmp_path):
     r, pn, cfg = _run(tmp_path)
     r.logger.close()

@@ -3,6 +3,7 @@ must not materially change the render, because transmittance terminates
 blending after ~tens of hits (T < 1e-4 stop, forward.cu:357-362).  This
 bounds the image-space error of the static caps (VERDICT round-1 item 3)."""
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from hierslam_tpu.core.camera import intrinsics_matrix, setup_camera
@@ -30,6 +31,7 @@ def _dense_scene(n=3000, seed=0):
     )
 
 
+@pytest.mark.slow
 def test_overflow_truncation_bounded_error():
     camera = setup_camera(64, 48, intrinsics_matrix(40, 40, 32, 24), np.eye(4))
     s = _dense_scene()
@@ -56,6 +58,7 @@ def test_overflow_truncation_bounded_error():
     assert d_mae < 0.05, d_mae
 
 
+@pytest.mark.slow
 def test_escalated_k_matches_big_k_exactly():
     """With escalate_tiles covering every overflowing tile and escalate_k
     >= the max true count, the two-population render must EQUAL the plain
@@ -168,6 +171,7 @@ def _big_splat_scene(n=1500, seed=0):
     )
 
 
+@pytest.mark.slow
 def test_saturation_masking_is_invisible():
     """sat_margin masks only pairs whose transmittance PROVABLY saturates
     above them (conservative quadrant alpha bounds, binning.py): at the

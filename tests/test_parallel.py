@@ -109,6 +109,7 @@ def _mapper_fixture():
     return camera, params, variables, window
 
 
+@pytest.mark.slow
 def test_dp_mapper_matches_single_device():
     """make_dp_mapper with all D columns equal must reproduce the
     single-device make_mapper trajectory exactly (pmean of identical
@@ -170,6 +171,7 @@ def test_dp_mapper_batched_improves():
     assert tr[-1] < tr[0]
 
 
+@pytest.mark.slow
 def test_runner_dp_mapping_e2e(tmp_path):
     """Full SLAMRunner with parallel.map_data_devices: the mapping phase
     runs keyframe-DP under shard_map on the virtual mesh end-to-end."""

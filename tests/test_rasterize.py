@@ -115,6 +115,7 @@ def sequential_reference_render(means, colors, opac, scales, rots, camera, tile=
     return C, D, med, 1.0 - T, Mm
 
 
+@pytest.mark.slow
 def test_gradients_vs_sequential_reference():
     """Forward AND gradients of the vectorized chunked renderer must match an
     independent sequential scan implementation."""
@@ -188,6 +189,7 @@ def test_gradients_vs_finite_difference():
     assert np.isfinite(float(f0))
 
 
+@pytest.mark.slow
 def test_overflow_is_reported():
     scene, cam = make_scene(n=400, seed=5, W=16, H=16)
     camera = to_camera(cam)
@@ -204,6 +206,7 @@ def test_overflow_is_reported():
     assert int(out.n_dropped) > 0
 
 
+@pytest.mark.slow
 def test_grad_pair_budget():
     """A grad_pair_budget >= the true valid-reference count must leave
     gradients EXACTLY unchanged; an under-budget run reports the shortfall
@@ -243,6 +246,7 @@ def test_grad_pair_budget():
     assert all(np.all(np.isfinite(np.asarray(g))) for g in g2)
 
 
+@pytest.mark.slow
 def test_xla_backend_matches_pallas_with_ladder():
     """The XLA fallback blend renders the bucketed capacity-class path
     identically to the (interpret-mode) Pallas blend."""

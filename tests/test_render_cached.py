@@ -2,6 +2,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from hierslam_tpu.core import transforms
 from hierslam_tpu.core.camera import intrinsics_matrix, setup_camera
@@ -153,6 +154,7 @@ def test_render_tracked_anisotropic_matches_exact_at_cache_pose():
     )
 
 
+@pytest.mark.slow
 def test_render_tracked_anisotropic_pose_gradients():
     params, camera = _aniso_scene_and_camera(seed=8)
     q0 = jnp.array([1.0, 0, 0, 0])

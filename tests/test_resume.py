@@ -3,11 +3,13 @@ finish the run — the artifact must be complete and consistent."""
 import os
 
 import numpy as np
+import pytest
 
 from fabricate import fabricate_replica
 from test_e2e import small_config
 
 
+@pytest.mark.slow
 def test_checkpoint_resume(tmp_path):
     basedir, seq, _ = fabricate_replica(str(tmp_path / "data"), n_frames=6, semantic=True)
     cfg = small_config(basedir, seq, workdir=str(tmp_path / "out"))

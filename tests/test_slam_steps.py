@@ -3,6 +3,7 @@ densify/prune slot machinery, tracking convergence on a synthetic scene."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from hierslam_tpu.core import gaussians as G
 from hierslam_tpu.core import transforms
@@ -99,6 +100,7 @@ def _camera(W=64, H=48, f=40.0):
     return setup_camera(W, H, intrinsics_matrix(f, f, W / 2, H / 2), np.eye(4))
 
 
+@pytest.mark.slow
 def test_tracking_recovers_pose():
     camera = _camera()
     gt = _synthetic_map(jax.random.PRNGKey(0))
@@ -128,6 +130,7 @@ def test_tracking_recovers_pose():
     assert float(jnp.max(maxrad)) > 0
 
 
+@pytest.mark.slow
 def test_depth_loss_thres_continues_same_optimizer():
     """The escape hatch doubles the SAME Adam run (scripts/hierslam.py:
     1877-1888): track(N) + continue_round(N) must equal one track(2N) —
@@ -225,6 +228,7 @@ def test_densify_fills_unseen_regions():
     np.testing.assert_allclose(z, 2.0, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_mapping_improves_render_and_prunes():
     camera = _camera()
     key = jax.random.PRNGKey(1)
@@ -272,6 +276,7 @@ def test_mapping_improves_render_and_prunes():
     assert n_active_after < n_active_before  # low-opacity slots pruned
 
 
+@pytest.mark.slow
 def test_mapping_converges_with_bf16_grads_and_budget():
     """grad_bf16 + a tight grad_pair_budget must still reduce the mapping
     loss (bf16 only quantizes the cotangent permutation; accumulation is
@@ -374,6 +379,7 @@ def test_emergency_prune_frees_least_opaque():
     assert int(n_freed3) == 4  # floor(0.2 * 20)
 
 
+@pytest.mark.slow
 def test_mapping_visible_compaction_matches_full():
     """visible_budget covering every gaussian must reproduce the full-N
     mapping EXACTLY (same per-iteration losses, same final params): the
@@ -442,6 +448,7 @@ def test_mapping_visible_compaction_matches_full():
     assert float(l_small[-1]) < float(l_small[0])
 
 
+@pytest.mark.slow
 def test_tracking_bucketed_cache_matches_single_class():
     """The pose-cache fast path with a capacity-class ladder must
     reproduce the single-class tracker: same per-iteration losses (to fp

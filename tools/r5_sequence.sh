@@ -22,13 +22,13 @@ echo "relay up $(date +%H:%M:%S)" | tee -a "$LOG/sequence.log"
 
 # 1. full SLAM at the shipped config (stream mapping backend,
 #    REAL_SHAPE_r05 candidate); 200 frames at 1200x680.
-run full env RS_SAT_MARGIN=2.0 timeout 10800 \
+run full env RS_SAT_MARGIN=2.0 RS_BUDGET=4100000 timeout 10800 \
     python tools/real_shape_run.py --frames 200 --workdir /tmp/proc_room_run_r5
 
 # 2. GT-pose upper-bound calibration: same sequence, tracking replaced by
 #    GT poses — separates tracker error from raster truncation / densify
 #    bloat.
-run gtpose env RS_SAT_MARGIN=2.0 timeout 10800 \
+run gtpose env RS_SAT_MARGIN=2.0 RS_BUDGET=4100000 timeout 10800 \
     python tools/real_shape_run.py --frames 200 --gt-poses \
     --workdir /tmp/proc_room_run_r5
 
