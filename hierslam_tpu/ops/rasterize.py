@@ -135,17 +135,6 @@ class RasterConfig:
     stream_cap: int = 4096            # stream backend: hard per-tile pair
                                       # cap (sets the backward kernel's
                                       # per-tile VMEM scratch)
-    stream_table_width: int = 128     # stream backend: packed parameter
-                                      # table lane width.  A narrower
-                                      # used-width table (e.g. 40 for
-                                      # 3+1+1+3+26 columns rounded to the
-                                      # sublane multiple) saves ~4 GB HBM
-                                      # and ~35 ms/iter at N=2M, but
-                                      # combined with visible-rank
-                                      # compaction it crashes the TPU
-                                      # worker (suspected runtime fault —
-                                      # see tools/stream_width_repro.py);
-                                      # guarded in slam/mapping.py.
 
     def __post_init__(self):
         if self.backend not in ("pallas", "xla", "stream"):

@@ -232,7 +232,9 @@ def make_mapper(
             # that cost is accepted until the runtime fault is cornered.
             gp = {"table": pack_cols_table(cols, width_mult=8)}
             cw = gp["table"].shape[1]
-            width = raster_cfg.stream_table_width
+            width = 128  # the full-lane gather width (fixed: narrower
+            # gather tables ride the slow narrow-row path and have
+            # crashed the TPU runtime at scale)
             # Fold the active mask into the opacity-logit column ONCE per
             # phase: inactive capacity slots get the sentinel logit, so
             # they blend to nothing and route no gradient without a

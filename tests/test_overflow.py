@@ -122,6 +122,7 @@ def test_escalated_k_matches_big_k_exactly():
         )
 
 
+@pytest.mark.slow
 def test_escalation_with_amortized_binning():
     """compute_binning carries the escalated lists through the cache path
     (the mapper's amortized window binning)."""

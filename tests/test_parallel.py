@@ -21,6 +21,7 @@ def test_mesh_has_8_devices():
     assert mesh.shape["data"] == 8
 
 
+@pytest.mark.slow
 def test_tile_sharded_render_matches_single():
     camera = _camera(W=64, H=48)
     params = _synthetic_map(jax.random.PRNGKey(0))
@@ -35,6 +36,7 @@ def test_tile_sharded_render_matches_single():
     np.testing.assert_allclose(np.asarray(depth), np.asarray(ref.depth), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_dp_mapping_step_runs_and_improves():
     camera = _camera(W=64, H=48)
     gt = _synthetic_map(jax.random.PRNGKey(1))
@@ -148,6 +150,7 @@ def test_dp_mapper_matches_single_device():
     )
 
 
+@pytest.mark.slow
 def test_dp_mapper_batched_improves():
     """Distinct per-device frames: the batched-gradient phase must run and
     reduce the loss."""

@@ -48,6 +48,7 @@ def test_forward_matches_golden(sem, seed):
         np.testing.assert_allclose(np.asarray(out.semantic), ref["semantic"], atol=2e-3)
 
 
+@pytest.mark.slow
 def test_active_mask_removes_gaussians():
     scene, cam = make_scene(n=50, seed=3)
     camera = to_camera(cam)

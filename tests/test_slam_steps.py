@@ -177,6 +177,7 @@ def test_raster_config_invariants():
     assert rc.max_per_tile == 64 and rc.backend == "pallas"
 
 
+@pytest.mark.slow
 def test_gather_rows_backward_exact():
     """The segmented-scan backward must equal autodiff through a plain
     gather — for every run length up to the cap (including > 16 refs)."""

@@ -87,6 +87,7 @@ XLA_CFG = RasterConfig(max_per_tile=256, gaussian_chunk=64, backend="xla")
 
 
 @pytest.mark.parametrize("sem", [0, 5])
+@pytest.mark.slow
 def test_stream_forward_matches_xla(sem):
     params, camera, q, t = _scene(sem=sem)
     cfg = RasterConfig(max_per_tile=256, gaussian_chunk=64,
@@ -157,6 +158,7 @@ def test_stream_gradients_match_xla(sem):
         np.testing.assert_allclose(a, b, atol=2e-3 * scale, err_msg=k)
 
 
+@pytest.mark.slow
 def test_waterfill_budget_and_overflow_accounting():
     params, camera, q, t = _scene(sem=0, n=400)
     means_cam, _ = transforms.transform_to_frame(

@@ -1,5 +1,6 @@
 """Headless tests of the interactive-replay geometry (viz/geometry.py)."""
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from hierslam_tpu.viz import geometry as VG
@@ -76,6 +77,7 @@ def test_replay_step_geometry():
     assert np.isfinite(g["points"]).all()
 
 
+@pytest.mark.slow
 def test_replay_step_geometry_semantic():
     """Interactive SEMANTIC replay geometry: points colored by decoded
     labels (viz_scripts/online_recon_sem_replica.py:199-338 equivalent),
