@@ -83,6 +83,7 @@ def raster_config(config: Dict) -> RasterConfig:
         ),
         sat_margin=r.get("sat_margin", 0.0),
         sat_floor=r.get("sat_floor", 64),
+        track_sat_margin=r.get("track_sat_margin", -1.0),
         visible_budget=r.get("visible_budget", 0),
         stream_rows=r.get("stream_rows", 0),
         stream_cap=r.get("stream_cap", 4096),

@@ -103,6 +103,15 @@ class RasterConfig:
                                       # (need = true overlap count).
     sat_floor: int = 64               # minimum per-tile kept rank under
                                       # saturation capping
+    track_sat_margin: float = -1.0    # tracking-cache saturation margin
+                                      # override (-1 = use sat_margin;
+                                      # 0 disables capping for tracking
+                                      # only).  The tracking cache is
+                                      # rebuilt per frame, so its margin
+                                      # only needs to cover in-frame pose
+                                      # drift — but an under-margined cap
+                                      # truncates the silhouette-saturated
+                                      # pixels tracking reads.
     visible_budget: int = 0           # > 0: amortized (cached) binning is
                                       # built in VISIBLE-RANK space — the
                                       # mapper compacts per-gaussian work

@@ -112,6 +112,10 @@ def make_tracker(
     from hierslam_tpu.ops.rasterize import RenderOutput
     from hierslam_tpu.ops.render_tracked import build_track_cache, render_tracked
 
+    if raster_cfg.track_sat_margin >= 0.0:
+        raster_cfg = _dc_replace(
+            raster_cfg, sat_margin=raster_cfg.track_sat_margin
+        )
     if raster_cfg.track_bucket_spec is not None:
         raster_cfg = _dc_replace(
             raster_cfg, bucket_spec=raster_cfg.track_bucket_spec

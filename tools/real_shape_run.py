@@ -52,6 +52,7 @@ def build_config(basedir, workdir, W, H, max_per_tile, map_every, capacity,
             bucket_spec=bucket_spec, track_bucket_spec=track_bucket_spec,
             sat_margin=float(os.environ.get("RS_SAT_MARGIN", "0")),
             sat_floor=int(os.environ.get("RS_SAT_FLOOR", "128")),
+            track_sat_margin=float(os.environ.get("RS_TRACK_SAT", "-1")),
             visible_budget=int(os.environ.get("RS_VIS", 1_500_000)),
             # mapping backend: shipped default is the ragged pair stream
             # (configs/replica/hierslam_semantic_run.py)
