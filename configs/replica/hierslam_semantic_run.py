@@ -63,8 +63,17 @@ config = dict(
                 stream_rows=32_000, stream_cap=4_096,
                 # TRACKING stays on the cached pose-only ladder path
                 # (ops/render_tracked.py) -- the stream kernel routes no
-                # camera gradients by design.
-                track_bucket_spec=((128, 1024), (384, 512), (-1, 128)),
+                # camera gradients by design.  FLAT per-tile capacity and
+                # NO saturation capping: the round-3 tracking ladder
+                # ((128,1024),(384,512),(-1,128)) gave 84% of tiles 128
+                # slots against a measured median saturation-bounded need
+                # of ~800 at real density -- truncated silhouette masks
+                # made pose gradients oscillate and the 200-frame
+                # real-shape run diverged (ATE 404 cm, REAL_SHAPE_r05).
+                # The flat-512 no-sat configuration is the round-2 /
+                # round-5-bisect validated one.
+                track_max_per_tile=512,
+                track_sat_margin=0.0,
                 # ladder spec for the non-stream renders (densify
                 # non-presence render, eval, viz): one generous class is
                 # derived from max_per_tile where needed.

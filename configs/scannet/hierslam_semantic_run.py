@@ -48,8 +48,12 @@ config = dict(
                 # the 640x480 / 1200-tile grid.
                 backend="stream",
                 stream_rows=16_000, stream_cap=4_096,
-                # TRACKING stays on the cached pose-only ladder path.
-                track_bucket_spec=((128, 1024), (384, 512), (-1, 128)),
+                # TRACKING: flat per-tile capacity, no saturation
+                # capping (the rank ladder under-capacitated 84% of
+                # tiles at real density and diverged the 200-frame
+                # real-shape run -- see the Replica flagship config).
+                track_max_per_tile=512,
+                track_sat_margin=0.0,
                 # ladder spec for non-stream renders (densify, eval, viz)
                 bucket_spec=((128, 4096), (384, 1024), (768, 512), (-1, 256)),
                 sat_margin=2.0, sat_floor=128,
